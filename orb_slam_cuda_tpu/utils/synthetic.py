@@ -1,0 +1,138 @@
+"""Synthetic textured scenes with exact ground-truth poses.
+
+Test/bench-side rendering (numpy + cv2 — NOT part of the TPU compute
+path). The reference has no unit tests at all and validates only on
+KITTI/TUM datasets (SURVEY.md §4); since CI here has no datasets, these
+scenes serve as the golden fixtures: textured planes rendered by
+homography warp give trackable frames with exact ground truth for
+ATE-gated end-to-end tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_texture(h: int, w: int, rng, n_blobs: int = 400) -> np.ndarray:
+    """Corner-rich random texture: random rectangles over noise, lightly
+    blurred so FAST/BRIEF behave like on natural images."""
+    import cv2
+
+    tex = rng.uniform(64, 192, size=(h, w)).astype(np.float32)
+    tex = cv2.GaussianBlur(tex, (0, 0), 3.0)
+    for _ in range(n_blobs):
+        x, y = rng.integers(0, w - 12), rng.integers(0, h - 12)
+        bw, bh = rng.integers(4, 24), rng.integers(4, 24)
+        val = rng.uniform(0, 255)
+        cv2.rectangle(tex, (int(x), int(y)), (int(x + bw), int(y + bh)), float(val), -1)
+    tex = cv2.GaussianBlur(tex, (3, 3), 0.8)
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+class Plane:
+    """A textured world plane: X(u,v) = origin + u*eu + v*ev, with texture
+    pixel (col,row) mapping to (u,v) = (col*scale, row*scale) meters."""
+
+    def __init__(self, origin, eu, ev, tex, scale):
+        self.origin = np.asarray(origin, np.float64)
+        self.eu = np.asarray(eu, np.float64)
+        self.ev = np.asarray(ev, np.float64)
+        self.tex = tex
+        self.scale = float(scale)
+
+    def sample_points(self, rng, n):
+        """Random 3D points on the plane (for direct geometric fixtures)."""
+        th, tw = self.tex.shape
+        us = rng.uniform(0, tw * self.scale, n)
+        vs = rng.uniform(0, th * self.scale, n)
+        return self.origin[None] + us[:, None] * self.eu[None] + vs[:, None] * self.ev[None]
+
+
+class PlanarScene:
+    """One or more textured planes; renders pinhole views at given poses."""
+
+    def __init__(self, planes):
+        self.planes = planes
+
+    @staticmethod
+    def default(rng, depth: float = 5.0, second_depth: float = 8.0,
+                extent: float = 12.0, tex_size: int = 1024):
+        """Two fronto-parallel planes at different depths (parallax-rich).
+
+        The world frame: x right, y down, z forward (camera at origin
+        looking +z sees both planes)."""
+        tex1 = make_texture(tex_size, tex_size, rng)
+        tex2 = make_texture(tex_size, tex_size, rng)
+        scale1 = extent / tex_size
+        scale2 = 2 * extent / tex_size
+        p_near = Plane(
+            origin=[-extent / 2, -extent / 2, depth],
+            eu=[1.0, 0, 0], ev=[0, 1.0, 0], tex=tex1, scale=scale1,
+        )
+        p_far = Plane(
+            origin=[-extent, -extent, second_depth],
+            eu=[1.0, 0, 0], ev=[0, 1.0, 0], tex=tex2, scale=scale2,
+        )
+        return PlanarScene([p_far, p_near])
+
+    def render(self, K, Tcw, width: int, height: int) -> np.ndarray:
+        """Render grayscale uint8 (height,width) from world->cam pose Tcw.
+
+        Each plane's texture->image map is the homography
+        H = K [R eu, R ev, R origin + t] diag(scale, scale, 1)."""
+        import cv2
+
+        K = np.asarray(K, np.float64)
+        Tcw = np.asarray(Tcw, np.float64)
+        R, t = Tcw[:3, :3], Tcw[:3, 3]
+        out = np.zeros((height, width), np.uint8)
+        for plane in self.planes:  # ordered far -> near
+            cols = np.stack(
+                [R @ plane.eu * plane.scale, R @ plane.ev * plane.scale, R @ plane.origin + t],
+                axis=1,
+            )
+            H = K @ cols
+            # Skip planes behind the camera (homography invalid).
+            if abs(np.linalg.det(H)) < 1e-12:
+                continue
+            warped = cv2.warpPerspective(
+                plane.tex, H, (width, height),
+                flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+            )
+            mask = cv2.warpPerspective(
+                np.full(plane.tex.shape, 255, np.uint8), H, (width, height),
+                flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+            )
+            out = np.where(mask > 0, warped, out)
+        return out
+
+    def render_stereo(self, K, Tcw, baseline: float, width: int, height: int):
+        """Left/right pair; right camera displaced +baseline along cam x."""
+        import numpy.linalg as la
+
+        T_rl = np.eye(4)
+        T_rl[0, 3] = -baseline  # right cam sees points shifted -x
+        left = self.render(K, Tcw, width, height)
+        right = self.render(K, T_rl @ Tcw, width, height)
+        return left, right
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.4, depth_amp: float = 0.15,
+                     yaw_amp: float = 0.05):
+    """Smooth sideways-arc camera trajectory (world->cam poses Tcw).
+
+    Lateral translation with mild depth and yaw variation — enough parallax
+    for mono initialization, overlap maintained for tracking."""
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        tx = radius * np.sin(2 * np.pi * s)
+        ty = 0.08 * np.sin(4 * np.pi * s)
+        tz = depth_amp * np.sin(2 * np.pi * s + 1.0)
+        yaw = yaw_amp * np.sin(2 * np.pi * s)
+        xi = jnp.asarray(np.array([tx, ty, tz, 0.0, yaw, 0.0], np.float32))
+        poses.append(np.asarray(se3.exp(xi), np.float64))
+    return poses
