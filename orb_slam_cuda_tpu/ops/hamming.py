@@ -1,0 +1,72 @@
+"""256-bit Hamming distance as MXU matmuls.
+
+TPU-native replacement for the reference's popcount inner loop
+(`ORBmatcher::DescriptorDistance`, reference: src/ORBmatcher.cc:1647-1664)
+and DBoW2's `FORB::distance` (Thirdparty/DBoW2/DBoW2/FORB.cpp:81-101).
+
+The trick: with descriptors unpacked to bipolar {-1,+1} vectors
+``a, b ∈ {-1,+1}^256``, ``<a,b> = 256 - 2*hamming(a,b)``, so an entire
+(Q,D) distance matrix is one ``(Q,256) @ (256,D)`` matmul — exactly the
+shape the MXU wants, in bf16 (integers up to 256 are exact in bf16, and
+accumulation happens in f32). A 2000x2000 frame-vs-frame distance matrix
+is ~0.26 GFLOP — microseconds on an MXU, versus the reference's per-pair
+XOR/popcount loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+N_WORDS = 8  # uint32 words per descriptor
+
+
+def unpack_bits(desc):
+    """(…,8) uint32 packed descriptors -> (…,256) uint8 in {0,1}.
+
+    Bit order matches the packing in frontend.extractor._rbrief:
+    word w bit j = pattern pair 32w + j.
+    """
+    desc = desc.astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[..., :, None] >> shifts[None, :]) & jnp.uint32(1)  # (…,8,32)
+    return bits.reshape(desc.shape[:-1] + (N_BITS,)).astype(jnp.uint8)
+
+
+def bipolar(desc, dtype=jnp.bfloat16):
+    """(…,8) uint32 -> (…,256) bipolar {-1,+1} in `dtype` (bf16 default)."""
+    bits = unpack_bits(desc).astype(dtype)
+    return bits * 2 - 1
+
+
+def hamming_matrix(a_bip, b_bip):
+    """(Q,256) x (D,256) bipolar -> (Q,D) int32 Hamming distances.
+
+    Inputs are the precomputed `bipolar()` forms; runs on the MXU in bf16
+    with f32 accumulation (exact for ±1 vectors of length 256).
+    """
+    dot = jax.lax.dot_general(
+        a_bip,
+        b_bip,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return ((N_BITS - dot) * 0.5).astype(jnp.int32)
+
+
+def hamming_matrix_packed(a, b):
+    """(Q,8) x (D,8) packed uint32 -> (Q,D) int32 via XOR+popcount.
+
+    VPU path for small candidate sets where unpacking to 256 lanes isn't
+    worth it; also the correctness oracle for `hamming_matrix`.
+    """
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_pairwise(a, b):
+    """(N,8) x (N,8) packed -> (N,) rowwise distances."""
+    x = jnp.bitwise_xor(a, b)
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)

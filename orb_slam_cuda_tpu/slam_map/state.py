@@ -1,0 +1,246 @@
+"""The map as a struct-of-arrays PyTree with static capacities.
+
+TPU-native replacement for the reference's pointer-graph map (reference:
+src/Map.cc, src/KeyFrame.cc, src/MapPoint.cc): `KeyFrame*`/`MapPoint*`
+object webs with per-object mutexes become fixed-capacity arrays with
+validity masks; `isBad()` flags become mask bits; the observation
+structure (`MapPoint::mObservations` map<KeyFrame*,idx> and
+`Frame::mvpMapPoints`) collapses into a single (K,N) int32 table
+`kf_mp` — feature n of keyframe k observes map point `kf_mp[k,n]`
+(-1 = none). Everything the reference derives by pointer-walking
+(covisibility graphs, local maps, observation counts) becomes batched
+gathers/segment-sums/matmuls over this table (see slam_map/ops.py).
+
+Static capacities are the XLA-friendly answer to the reference's
+unbounded map growth (SURVEY.md §7 hard part (b)); the engine layer
+monitors occupancy and the capacities are config knobs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapConfig(NamedTuple):
+    """Static capacities + pyramid constants baked into compiled steps."""
+
+    max_keyframes: int = 256  # K
+    max_features: int = 1024  # N per keyframe
+    max_points: int = 32768  # P
+    n_levels: int = 8
+    scale_factor: float = 1.2
+
+    @property
+    def scale_factors(self):
+        return tuple(self.scale_factor**i for i in range(self.n_levels))
+
+    @property
+    def level_sigma2(self):
+        # Reference mvLevelSigma2 = scale^2 per level (ORBextractor ctor).
+        return tuple((self.scale_factor**i) ** 2 for i in range(self.n_levels))
+
+    @property
+    def log_scale_factor(self):
+        return float(np.log(self.scale_factor))
+
+
+class MapState(NamedTuple):
+    """All SLAM map state. Shapes use K/N/P from MapConfig.
+
+    Keyframes:
+      kf_pose: (K,4,4) f32 world->cam Tcw.
+      kf_valid: (K,) bool (False = free slot or culled, the reference's
+        mbBad + erase, src/KeyFrame.cc:462-555).
+      kf_frame_id: (K,) i32 source-frame id (mnFrameId ordering rules).
+      kf_uv: (K,N,2) f32 undistorted level-0 keypoint coords (mvKeysUn).
+      kf_right: (K,N) f32 stereo right-image u coord, <0 if mono (mvuRight).
+      kf_depth: (K,N) f32 keypoint depth, <0 if unknown (mvDepth).
+      kf_oct: (K,N) i32 pyramid level; kf_ang: (K,N) f32 degrees.
+      kf_desc: (K,N,8) u32 packed rBRIEF.
+      kf_feat_valid: (K,N) bool.
+      kf_word/kf_node: (K,N) i32 vocabulary leaf / levelsup-node ids.
+      kf_mp: (K,N) i32 observed map-point index (-1 none) — THE
+        observation table.
+
+    Map points:
+      mp_xyz: (P,3) f32 world positions.
+      mp_valid: (P,) bool.
+      mp_desc: (P,8) u32 distinctive descriptor (ComputeDistinctiveDescriptors).
+      mp_normal: (P,3) f32 mean viewing direction.
+      mp_min_dist/mp_max_dist: (P,) f32 scale-invariance distance bounds.
+      mp_ref_kf: (P,) i32 reference keyframe slot.
+      mp_first_kf: (P,) i32 first-observing keyframe slot (culling rules).
+      mp_visible/mp_found: (P,) f32 visibility statistics (IncreaseVisible/
+        IncreaseFound, src/MapPoint.cc:224-246).
+    """
+
+    kf_pose: jnp.ndarray
+    kf_valid: jnp.ndarray
+    kf_frame_id: jnp.ndarray
+    kf_uv: jnp.ndarray
+    kf_right: jnp.ndarray
+    kf_depth: jnp.ndarray
+    kf_oct: jnp.ndarray
+    kf_ang: jnp.ndarray
+    kf_desc: jnp.ndarray
+    kf_feat_valid: jnp.ndarray
+    kf_word: jnp.ndarray
+    kf_node: jnp.ndarray
+    kf_mp: jnp.ndarray
+    mp_xyz: jnp.ndarray
+    mp_valid: jnp.ndarray
+    mp_desc: jnp.ndarray
+    mp_normal: jnp.ndarray
+    mp_min_dist: jnp.ndarray
+    mp_max_dist: jnp.ndarray
+    mp_ref_kf: jnp.ndarray
+    mp_first_kf: jnp.ndarray
+    mp_visible: jnp.ndarray
+    mp_found: jnp.ndarray
+
+    @property
+    def capacity(self):
+        return self.kf_mp.shape
+
+    def n_keyframes(self):
+        return jnp.sum(self.kf_valid)
+
+    def n_points(self):
+        return jnp.sum(self.mp_valid)
+
+
+def empty(cfg: MapConfig) -> MapState:
+    K, N, P = cfg.max_keyframes, cfg.max_features, cfg.max_points
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, jnp.int32),
+        kf_uv=jnp.zeros((K, N, 2), jnp.float32),
+        kf_right=jnp.full((K, N), -1.0, jnp.float32),
+        kf_depth=jnp.full((K, N), -1.0, jnp.float32),
+        kf_oct=jnp.zeros((K, N), jnp.int32),
+        kf_ang=jnp.zeros((K, N), jnp.float32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_word=jnp.full((K, N), -1, jnp.int32),
+        kf_node=jnp.full((K, N), -1, jnp.int32),
+        kf_mp=jnp.full((K, N), -1, jnp.int32),
+        mp_xyz=jnp.zeros((P, 3), jnp.float32),
+        mp_valid=jnp.zeros((P,), bool),
+        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_normal=jnp.zeros((P, 3), jnp.float32),
+        mp_min_dist=jnp.zeros((P,), jnp.float32),
+        mp_max_dist=jnp.full((P,), 1e9, jnp.float32),
+        mp_ref_kf=jnp.full((P,), -1, jnp.int32),
+        mp_first_kf=jnp.full((P,), -1, jnp.int32),
+        mp_visible=jnp.ones((P,), jnp.float32),
+        mp_found=jnp.ones((P,), jnp.float32),
+    )
+
+
+def insert_keyframe(
+    state: MapState,
+    slot,
+    pose,
+    frame_id,
+    uv,
+    right,
+    depth,
+    oct_,
+    ang,
+    desc,
+    feat_valid,
+    word,
+    node,
+    mp_assoc,
+) -> MapState:
+    """Write a keyframe into `slot` (replaces `Map::AddKeyFrame` +
+    KeyFrame construction, reference src/Map.cc:32-38, src/KeyFrame.cc
+    ctor). `slot` may be a traced scalar; the caller (engine) owns free-slot
+    policy. `mp_assoc` is the (N,) map-point binding carried over from
+    tracking (reference: CreateNewKeyFrame keeps Frame's mvpMapPoints)."""
+    return state._replace(
+        kf_pose=state.kf_pose.at[slot].set(pose),
+        kf_valid=state.kf_valid.at[slot].set(True),
+        kf_frame_id=state.kf_frame_id.at[slot].set(frame_id),
+        kf_uv=state.kf_uv.at[slot].set(uv),
+        kf_right=state.kf_right.at[slot].set(right),
+        kf_depth=state.kf_depth.at[slot].set(depth),
+        kf_oct=state.kf_oct.at[slot].set(oct_),
+        kf_ang=state.kf_ang.at[slot].set(ang),
+        kf_desc=state.kf_desc.at[slot].set(desc),
+        kf_feat_valid=state.kf_feat_valid.at[slot].set(feat_valid),
+        kf_word=state.kf_word.at[slot].set(word),
+        kf_node=state.kf_node.at[slot].set(node),
+        kf_mp=state.kf_mp.at[slot].set(mp_assoc),
+    )
+
+
+def add_points(
+    state: MapState,
+    slots,
+    xyz,
+    valid,
+    desc,
+    normal,
+    min_dist,
+    max_dist,
+    ref_kf,
+    first_kf,
+) -> MapState:
+    """Batch-insert map points into `slots` (P-indexed); rows with
+    ~valid are written but left invalid (free). Replaces `Map::AddMapPoint`
+    + MapPoint ctor (reference src/Map.cc:39-45, src/MapPoint.cc:37-120)."""
+    def w(arr, vals):
+        return arr.at[slots].set(jnp.where(valid.reshape(valid.shape + (1,) * (vals.ndim - 1)), vals, arr[slots]))
+
+    return state._replace(
+        mp_xyz=w(state.mp_xyz, xyz),
+        mp_valid=state.mp_valid.at[slots].set(state.mp_valid[slots] | valid),
+        mp_desc=w(state.mp_desc, desc),
+        mp_normal=w(state.mp_normal, normal),
+        mp_min_dist=w(state.mp_min_dist, min_dist),
+        mp_max_dist=w(state.mp_max_dist, max_dist),
+        mp_ref_kf=w(state.mp_ref_kf, ref_kf),
+        mp_first_kf=w(state.mp_first_kf, first_kf),
+        mp_visible=state.mp_visible.at[slots].set(jnp.where(valid, 1.0, state.mp_visible[slots])),
+        mp_found=state.mp_found.at[slots].set(jnp.where(valid, 1.0, state.mp_found[slots])),
+    )
+
+
+def bind_observations(state: MapState, kf_slot, feat_idx, point_idx, valid) -> MapState:
+    """Set kf_mp[kf_slot, feat_idx[i]] = point_idx[i] where valid[i]
+    (replaces MapPoint::AddObservation + KeyFrame::AddMapPoint,
+    reference src/MapPoint.cc:103-120, src/KeyFrame.cc:208-212)."""
+    current = state.kf_mp[kf_slot]
+    safe_idx = jnp.where(valid, feat_idx, 0)
+    updates = jnp.where(valid, point_idx, current[safe_idx])
+    new_row = current.at[safe_idx].set(updates)
+    return state._replace(kf_mp=state.kf_mp.at[kf_slot].set(new_row))
+
+
+def erase_points(state: MapState, point_mask) -> MapState:
+    """Invalidate map points and unbind every observation of them
+    (replaces `MapPoint::SetBadFlag`, reference src/MapPoint.cc:144-166).
+    point_mask: (P,) bool — True = erase."""
+    kf_mp = state.kf_mp
+    observed_bad = jnp.where(kf_mp >= 0, point_mask[jnp.clip(kf_mp, 0)], False)
+    return state._replace(
+        mp_valid=state.mp_valid & ~point_mask,
+        kf_mp=jnp.where(observed_bad, -1, kf_mp),
+    )
+
+
+def erase_keyframe(state: MapState, kf_slot) -> MapState:
+    """Invalidate a keyframe and its observation row (replaces
+    `KeyFrame::SetBadFlag`, reference src/KeyFrame.cc:462-555; the
+    spanning-tree repair is unnecessary here — the pose-graph edges are
+    recomputed from covisibility on demand)."""
+    return state._replace(
+        kf_valid=state.kf_valid.at[kf_slot].set(False),
+        kf_mp=state.kf_mp.at[kf_slot].set(jnp.full_like(state.kf_mp[0], -1)),
+        kf_feat_valid=state.kf_feat_valid.at[kf_slot].set(jnp.zeros_like(state.kf_feat_valid[0])),
+    )
