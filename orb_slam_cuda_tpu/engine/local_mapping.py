@@ -1,0 +1,496 @@
+"""Local mapping: keyframe processing, point creation, fusion, local BA,
+culling.
+
+Replaces the reference's `LocalMapping` thread (reference:
+src/LocalMapping.cc): ProcessNewKeyFrame (:153-195), CreateNewMapPoints'
+per-neighbor epipolar triangulation (:237-486), SearchInNeighbors fusion
+(:487-571), LocalBundleAdjustment via solvers.bundle_adjust
+(src/Optimizer.cc:545-926), MapPointCulling (:197-235) and
+KeyFrameCulling (:668-736). The host drives the sequence; each step is a
+jitted batched function. (The reference runs this on its own thread; here
+the steps dispatch asynchronously to the device and the host only syncs
+on the few scalars it branches on.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3, triangulate
+from ..geometry.camera import Camera
+from ..matching import search
+from ..ops import hamming
+from ..slam_map import MapConfig, MapState, keyframe_db, ops as map_ops, state as mstate
+from ..solvers import bundle_adjust as ba
+from .frame import FrameData
+
+
+class TriangulationResult(NamedTuple):
+    xyz: jnp.ndarray  # (N,3) candidate points (world)
+    ok: jnp.ndarray  # (N,) bool
+    feat_new: jnp.ndarray  # (N,) feature idx in the new KF (= row index)
+    feat_nb: jnp.ndarray  # (N,) matched feature idx in neighbor
+
+
+@jax.jit
+def triangulate_with_neighbor(
+    state: MapState,
+    kf_new,
+    kf_nb,
+    cam: Camera,
+    scale_factors,
+    level_sigma2,
+) -> TriangulationResult:
+    """Epipolar-matched two-view triangulation between the new keyframe
+    and one covisibility neighbor (reference CreateNewMapPoints inner
+    loop, src/LocalMapping.cc:270-486)."""
+    K = cam.K
+    T1 = state.kf_pose[kf_new]
+    T2 = state.kf_pose[kf_nb]
+    F12 = triangulate.fundamental_from_poses(K, T1, K, T2)
+
+    mp1 = state.kf_mp[kf_new]
+    mp2 = state.kf_mp[kf_nb]
+    has1 = (mp1 >= 0) & state.mp_valid[jnp.clip(mp1, 0)]
+    has2 = (mp2 >= 0) & state.mp_valid[jnp.clip(mp2, 0)]
+    bip1 = hamming.bipolar(state.kf_desc[kf_new])
+    bip2 = hamming.bipolar(state.kf_desc[kf_nb])
+
+    # Epipole of cam2's center in image 1 is used by the reference to
+    # reject near-epipole features; here computed in image 2 (center of
+    # cam1 in image 2).
+    C1w = -T1[:3, :3].T @ T1[:3, 3]
+    C1_in_2 = T2[:3, :3] @ C1w + T2[:3, 3]
+    from ..geometry import camera as cam_mod
+
+    epipole2 = cam_mod.project(cam, C1_in_2[None, :])[0]
+
+    m = search.for_triangulation(
+        state.kf_node[kf_new], bip1, state.kf_feat_valid[kf_new],
+        state.kf_ang[kf_new], state.kf_uv[kf_new], state.kf_oct[kf_new],
+        state.kf_node[kf_nb], bip2, state.kf_feat_valid[kf_nb],
+        state.kf_ang[kf_nb], state.kf_uv[kf_nb], state.kf_oct[kf_nb],
+        F12, level_sigma2,
+        epipole_uv=epipole2, scale_factors=scale_factors,
+        f1_has_point=has1, f2_has_point=has2,
+    )
+
+    ok = m.idx >= 0
+    j = jnp.clip(m.idx, 0)
+    xy1 = state.kf_uv[kf_new]
+    xy2 = state.kf_uv[kf_nb][j]
+    P1 = triangulate.projection_matrix(K, T1)
+    P2 = triangulate.projection_matrix(K, T2)
+    X = triangulate.triangulate_dlt(P1, P2, xy1, xy2)
+    z1, z2, cosp = triangulate.cheirality_and_parallax(X, T1, T2)
+
+    # Reprojection chi2 gates in both views (reference :404-443).
+    def reproj_err(T, xy):
+        Xc = se3.transform(T, X)
+        uv = cam_mod.project(cam, Xc)
+        return jnp.sum((uv - xy) ** 2, axis=-1)
+
+    sig2 = jnp.asarray(level_sigma2, jnp.float32)
+    e1 = reproj_err(T1, xy1) / sig2[jnp.clip(state.kf_oct[kf_new], 0, sig2.shape[0] - 1)]
+    e2 = reproj_err(T2, xy2) / sig2[jnp.clip(state.kf_oct[kf_nb][j], 0, sig2.shape[0] - 1)]
+
+    # Scale-consistency check (reference :445-466): distance ratio between
+    # the two views must agree with the octave scale ratio.
+    C2w = -T2[:3, :3].T @ T2[:3, 3]
+    d1 = jnp.linalg.norm(X - C1w[None, :], axis=-1)
+    d2 = jnp.linalg.norm(X - C2w[None, :], axis=-1)
+    ratio_dist = d1 / jnp.maximum(d2, 1e-9)
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    ratio_oct = (
+        sf[jnp.clip(state.kf_oct[kf_new], 0, sf.shape[0] - 1)]
+        / sf[jnp.clip(state.kf_oct[kf_nb][j], 0, sf.shape[0] - 1)]
+    )
+    ratio_factor = 1.5 * jnp.float32(scale_factors[1])
+    scale_ok = (ratio_dist < ratio_oct * ratio_factor) & (
+        ratio_dist * ratio_factor > ratio_oct
+    )
+
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    good = (
+        ok & finite & (z1 > 0) & (z2 > 0) & (cosp < 0.9998)
+        & (e1 < 5.991) & (e2 < 5.991) & scale_ok
+    )
+    feat_new = jnp.arange(X.shape[0], dtype=jnp.int32)
+    return TriangulationResult(xyz=X, ok=good, feat_new=feat_new, feat_nb=m.idx)
+
+
+@jax.jit
+def fuse_into_keyframe(
+    state: MapState,
+    pt_candidates,  # (M,) point ids (-1 padded)
+    kf_target,
+    cam: Camera,
+    scale_factors,
+):
+    """Project candidate points into a keyframe and find fusable feature
+    matches (reference ORBmatcher::Fuse src/ORBmatcher.cc:825-1000).
+    Returns MatchResult over the candidate list (target = feature idx)."""
+    from ..geometry import camera as cam_mod
+
+    T = state.kf_pose[kf_target]
+    pv = (pt_candidates >= 0) & state.mp_valid[jnp.clip(pt_candidates, 0)]
+    X = state.mp_xyz[jnp.clip(pt_candidates, 0)]
+    Xc = se3.transform(T, X)
+    proj = cam_mod.project(cam, Xc)
+    in_front = Xc[:, 2] > 0
+    in_img = (
+        (proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
+        & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height)
+    )
+    Cw = -T[:3, :3].T @ T[:3, 3]
+    vec = X - Cw[None, :]
+    dist = jnp.linalg.norm(vec, axis=-1)
+    mind = state.mp_min_dist[jnp.clip(pt_candidates, 0)]
+    maxd = state.mp_max_dist[jnp.clip(pt_candidates, 0)]
+    normal = state.mp_normal[jnp.clip(pt_candidates, 0)]
+    view_cos = jnp.sum(vec * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    pv = pv & in_front & in_img & (dist >= 0.8 * mind) & (dist <= 1.2 * maxd) & (view_cos > 0.5)
+
+    n_lvls = len(scale_factors)
+    pred_oct = search.predict_octave(
+        dist, maxd, jnp.log(jnp.float32(scale_factors[1])), n_lvls
+    )
+    bip = hamming.bipolar(state.mp_desc[jnp.clip(pt_candidates, 0)])
+    return search.fuse(
+        proj, bip, pv, pred_oct,
+        state.kf_uv[kf_target], state.kf_oct[kf_target],
+        hamming.bipolar(state.kf_desc[kf_target]), state.kf_feat_valid[kf_target],
+        scale_factors, radius=3.0,
+    )
+
+
+@jax.jit
+def apply_fusion(state: MapState, kf_target, pt_candidates, match_idx):
+    """Apply fusion decisions (reference Fuse + MapPoint::Replace,
+    src/MapPoint.cc:182-221): for each matched (point p, feature j of
+    kf_target):
+      * feature unbound -> bind to p;
+      * feature bound to q != p -> merge: the point with more observations
+        absorbs the other (all bindings of the loser rewritten).
+    """
+    P = state.mp_xyz.shape[0]
+    ok = (match_idx >= 0) & (pt_candidates >= 0)
+    j = jnp.clip(match_idx, 0)
+    p = jnp.clip(pt_candidates, 0)
+    row = state.kf_mp[kf_target]
+    q = row[j]  # current binding of matched features (or -1)
+
+    # Case 1: unbound -> bind.
+    bind = ok & (q < 0)
+    row = row.at[j].set(jnp.where(bind, p, row[j]))
+    state = state._replace(kf_mp=state.kf_mp.at[kf_target].set(row))
+
+    # Case 2: merge. Winner = more observations.
+    obs = map_ops.observation_counts(state)
+    merge = ok & (q >= 0) & (q != p)
+    winner = jnp.where(obs[p] >= obs[jnp.clip(q, 0)], p, jnp.clip(q, 0))
+    loser = jnp.where(obs[p] >= obs[jnp.clip(q, 0)], jnp.clip(q, 0), p)
+    # Build replacement table: identity, then loser -> winner.
+    table = jnp.arange(P, dtype=jnp.int32)
+    table = table.at[jnp.where(merge, loser, P - 1)].set(
+        jnp.where(merge, winner, table[jnp.where(merge, loser, P - 1)])
+    )
+    # Chase one level of chaining (a->b, b->c) for safety.
+    table = table[table]
+    kf_mp = jnp.where(state.kf_mp >= 0, table[jnp.clip(state.kf_mp, 0)], -1)
+    mp_valid = state.mp_valid & (table == jnp.arange(P))
+    state = state._replace(kf_mp=kf_mp, mp_valid=mp_valid)
+    return _dedup_observations(state)
+
+
+def _dedup_observations(state: MapState) -> MapState:
+    """Enforce at most one feature per (keyframe, point): keep the
+    lowest-index feature (the reference never creates duplicates because
+    AddObservation checks mObservations.count; merging can)."""
+    K, N = state.kf_mp.shape
+    P = state.mp_xyz.shape[0]
+    feat_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N))
+    bound = state.kf_mp >= 0
+    pt = jnp.clip(state.kf_mp, 0)
+    first = (
+        jnp.full((K, P), N, jnp.int32)
+        .at[jnp.arange(K)[:, None].repeat(N, 1), pt]
+        .min(jnp.where(bound, feat_idx, N))
+    )
+    keep = bound & (feat_idx == first[jnp.arange(K)[:, None].repeat(N, 1), pt])
+    return state._replace(kf_mp=jnp.where(keep, state.kf_mp, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_fixed", "n_points"))
+def gather_local_ba_problem(
+    state: MapState,
+    kf_new,
+    cam: Camera,
+    level_inv_sigma2,
+    n_local: int = 16,
+    n_fixed: int = 8,
+    n_points: int = 4096,
+):
+    """Assemble the local-BA window (reference src/Optimizer.cc:550-637):
+    the new KF + its covisible KFs are free cameras; keyframes outside the
+    window observing local points join as fixed cameras; the edge list is
+    the (C,N) slice of the observation table.
+
+    Returns (problem, cam_slots (C,), pt_slots (n_points,))."""
+    K, N = state.kf_mp.shape
+    P = state.mp_xyz.shape[0]
+    covis = map_ops.covisibility_matrix(state)
+    row = covis[kf_new]  # (K,)
+    top = map_ops.top_covisible(row, n_local - 1)  # (n_local-1,)
+    local = jnp.concatenate([jnp.asarray([kf_new], jnp.int32), top])
+    local_mask = jnp.zeros((K,), bool).at[jnp.clip(local, 0)].set(local >= 0)
+    local_mask = local_mask & state.kf_valid
+
+    pt_mask = map_ops.points_of_keyframes(state, local_mask)
+    pt_slots = jnp.nonzero(pt_mask, size=n_points, fill_value=-1)[0].astype(jnp.int32)
+    pt_sel = jnp.zeros((P,), bool).at[jnp.clip(pt_slots, 0)].set(pt_slots >= 0)
+
+    # Fixed frontier: non-local KFs observing selected points.
+    sees = (state.kf_mp >= 0) & pt_sel[jnp.clip(state.kf_mp, 0)]
+    overlap = jnp.sum(sees, axis=1).astype(jnp.int32)
+    overlap = jnp.where(local_mask | ~state.kf_valid, 0, overlap)
+    fixed = map_ops.top_covisible(overlap, n_fixed)
+
+    cam_slots = jnp.concatenate([local, fixed])  # (C,)
+    C = cam_slots.shape[0]
+    cam_ok = cam_slots >= 0
+    safe_cam = jnp.clip(cam_slots, 0)
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros((local.shape[0],), bool), jnp.ones((n_fixed,), bool)]
+    )
+    # Gauge: also fix the oldest local camera if few fixed cams exist
+    # (reference fixes when <2 fixed, src/Optimizer.cc:147-ish for GBA;
+    # local BA always has a frontier in practice).
+    any_fixed = jnp.any(cam_fixed & cam_ok)
+    oldest = jnp.argmin(
+        jnp.where(
+            local_mask[safe_cam[: local.shape[0]]] & cam_ok[: local.shape[0]],
+            state.kf_frame_id[safe_cam[: local.shape[0]]],
+            jnp.int32(2**30),
+        )
+    )
+    cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | ~any_fixed)
+
+    # Point local index lookup.
+    inv = jnp.full((P,), -1, jnp.int32).at[jnp.clip(pt_slots, 0)].set(
+        jnp.where(pt_slots >= 0, jnp.arange(n_points, dtype=jnp.int32), -1)
+    )
+
+    rows_mp = state.kf_mp[safe_cam]  # (C,N)
+    rows_valid = (
+        (rows_mp >= 0)
+        & cam_ok[:, None]
+        & state.kf_feat_valid[safe_cam]
+    )
+    obs_pt_local = jnp.where(rows_valid, inv[jnp.clip(rows_mp, 0)], -1)
+    rows_valid = rows_valid & (obs_pt_local >= 0)
+    obs_cam = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
+
+    inv_sig = jnp.asarray(level_inv_sigma2, jnp.float32)
+    obs_isig = inv_sig[jnp.clip(state.kf_oct[safe_cam], 0, inv_sig.shape[0] - 1)]
+
+    problem = ba.BAProblem(
+        cam_pose=state.kf_pose[safe_cam],
+        cam_fixed=cam_fixed | ~cam_ok,
+        xyz=state.mp_xyz[jnp.clip(pt_slots, 0)],
+        pt_valid=pt_slots >= 0,
+        obs_cam=obs_cam.reshape(-1),
+        obs_pt=obs_pt_local.reshape(-1),
+        obs_uv=state.kf_uv[safe_cam].reshape(-1, 2),
+        obs_ur=jnp.where(
+            rows_valid, state.kf_right[safe_cam], -1.0
+        ).reshape(-1),
+        obs_inv_sigma2=obs_isig.reshape(-1),
+        obs_valid=rows_valid.reshape(-1),
+    )
+    return problem, cam_slots, pt_slots
+
+
+@jax.jit
+def scatter_ba_result(
+    state: MapState,
+    result: ba.BAResult,
+    problem: ba.BAProblem,
+    cam_slots,
+    pt_slots,
+):
+    """Write optimized poses/points back and unbind chi2-outlier
+    observations (reference erases outlier edges after local BA,
+    src/Optimizer.cc:860-905)."""
+    K, N = state.kf_mp.shape
+    C = cam_slots.shape[0]
+    cam_ok = (cam_slots >= 0) & ~problem.cam_fixed
+    safe_cam = jnp.clip(cam_slots, 0)
+    new_poses = jnp.where(
+        cam_ok[:, None, None], result.cam_pose, state.kf_pose[safe_cam]
+    )
+    kf_pose = state.kf_pose.at[safe_cam].set(new_poses)
+
+    pt_ok = pt_slots >= 0
+    safe_pt = jnp.clip(pt_slots, 0)
+    new_xyz = jnp.where(pt_ok[:, None], result.xyz, state.mp_xyz[safe_pt])
+    mp_xyz = state.mp_xyz.at[safe_pt].set(new_xyz)
+
+    # Outlier pruning: edge (c_local, n) with valid obs but ~inlier.
+    prune = (problem.obs_valid & ~result.obs_inlier).reshape(C, N)
+    rows = state.kf_mp[safe_cam]
+    rows = jnp.where(prune, -1, rows)
+    kf_mp = state.kf_mp.at[safe_cam].set(
+        jnp.where((cam_slots >= 0)[:, None], rows, state.kf_mp[safe_cam])
+    )
+    return state._replace(kf_pose=kf_pose, mp_xyz=mp_xyz, kf_mp=kf_mp)
+
+
+class LocalMapper:
+    """Host-side orchestration of the mapping steps for one new keyframe
+    (the reference's LocalMapping::Run loop body, src/LocalMapping.cc:
+    67-135, run synchronously per keyframe here; async dispatch is the
+    engine-level roadmap)."""
+
+    def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=5,
+                 lba_local=16, lba_fixed=8, lba_points=4096):
+        self.cfg = cfg
+        self.cam = cam
+        self.n_tri_nb = n_triangulate_neighbors
+        self.lba_local = lba_local
+        self.lba_fixed = lba_fixed
+        self.lba_points = lba_points
+        sf = cfg.scale_factors
+        self.scale_factors = jnp.asarray(sf, jnp.float32)
+        self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
+        self.level_inv_sigma2 = 1.0 / self.level_sigma2
+
+    def free_point_slots(self, state: MapState, n: int) -> np.ndarray:
+        free = np.flatnonzero(~np.asarray(state.mp_valid))
+        if len(free) < n:
+            raise RuntimeError(
+                f"map point capacity exhausted ({self.cfg.max_points}); "
+                "raise MapConfig.max_points"
+            )
+        return free[:n]
+
+    def process_keyframe(self, state: MapState, db, kf_slot: int,
+                         recent_pts: list, kf_order: list):
+        """Triangulate-fuse-optimize-cull for a newly inserted keyframe.
+
+        recent_pts: host-side list of probation point ids
+        (MapPointCulling's mlpRecentAddedMapPoints). kf_order: slot ids in
+        insertion order."""
+        cam = self.cam
+        covis = np.asarray(map_ops.covisibility_matrix(state)[kf_slot])
+        neighbors = np.argsort(-covis)[: self.n_tri_nb]
+        neighbors = [int(nb) for nb in neighbors if covis[nb] > 0]
+
+        # --- CreateNewMapPoints over top covisibility neighbors ---
+        new_pts_total = []
+        for nb in neighbors:
+            tri = triangulate_with_neighbor(
+                state, kf_slot, nb, cam, self.scale_factors, self.level_sigma2
+            )
+            ok = np.asarray(tri.ok)
+            n_new = int(ok.sum())
+            if n_new == 0:
+                continue
+            sel = np.flatnonzero(ok)
+            slots = self.free_point_slots(state, n_new)
+            slots_j = jnp.asarray(slots, jnp.int32)
+            sel_j = jnp.asarray(sel, jnp.int32)
+            state = mstate.add_points(
+                state,
+                slots_j,
+                tri.xyz[sel_j],
+                jnp.ones((n_new,), bool),
+                state.kf_desc[kf_slot][sel_j],
+                jnp.zeros((n_new, 3), jnp.float32),
+                jnp.zeros((n_new,), jnp.float32),
+                jnp.full((n_new,), 1e9, jnp.float32),
+                jnp.full((n_new,), kf_slot, jnp.int32),
+                jnp.full((n_new,), kf_slot, jnp.int32),
+            )
+            state = mstate.bind_observations(
+                state, kf_slot, sel_j, slots_j, jnp.ones((n_new,), bool)
+            )
+            state = mstate.bind_observations(
+                state, nb, tri.feat_nb[sel_j], slots_j, jnp.ones((n_new,), bool)
+            )
+            new_pts_total.extend(slots.tolist())
+        recent_pts.extend(new_pts_total)
+
+        # --- SearchInNeighbors fusion (both directions) ---
+        own_pts = np.asarray(state.kf_mp[kf_slot])
+        own_pts_j = jnp.asarray(own_pts, jnp.int32)
+        for nb in neighbors:
+            m = fuse_into_keyframe(state, own_pts_j, nb, cam, self.scale_factors)
+            state = apply_fusion(state, nb, own_pts_j, m.idx)
+            nb_pts = state.kf_mp[nb]
+            m2 = fuse_into_keyframe(state, nb_pts, kf_slot, cam, self.scale_factors)
+            state = apply_fusion(state, kf_slot, nb_pts, m2.idx)
+
+        # Refresh point statistics after structure changes.
+        state = map_ops.update_point_stats(state, self.cfg)
+
+        # --- Local BA ---
+        problem, cam_slots, pt_slots = gather_local_ba_problem(
+            state, kf_slot, cam, self.level_inv_sigma2,
+            n_local=self.lba_local, n_fixed=self.lba_fixed,
+            n_points=self.lba_points,
+        )
+        result = ba.bundle_adjust(problem, cam, lm_iters=8, cg_iters=15)
+        state = scatter_ba_result(state, result, problem, cam_slots, pt_slots)
+
+        # --- MapPointCulling (probation list) ---
+        if recent_pts and len(kf_order) >= 1:
+            cur_order = state.kf_frame_id[kf_slot]
+            lo = (
+                state.kf_frame_id[kf_order[-3]]
+                if len(kf_order) >= 3
+                else jnp.int32(0)
+            )
+            cull = map_ops.cull_points(
+                state, lo, cur_order, state.kf_frame_id, th_obs=2
+            )
+            cull_n = np.asarray(cull)
+            state = mstate.erase_points(state, cull)
+            recent_pts[:] = [
+                p for p in recent_pts
+                if not cull_n[p] and bool(np.asarray(state.mp_valid)[p])
+            ]
+            # Points that survived 3 keyframes leave probation.
+            first = np.asarray(state.mp_first_kf)
+            if len(kf_order) >= 3:
+                old_kf_fid = int(np.asarray(state.kf_frame_id[kf_order[-3]]))
+                fid = np.asarray(state.kf_frame_id)
+                recent_pts[:] = [
+                    p for p in recent_pts if fid[first[p]] > old_kf_fid
+                ]
+
+        # --- KeyFrameCulling on local neighbors ---
+        culled = []
+        for nb in neighbors:
+            if len(kf_order) <= 3:
+                break
+            red = float(keyframe_redundancy_cached(state, nb))
+            if red > 0.9:
+                state = mstate.erase_keyframe(state, nb)
+                db = keyframe_db.erase(db, nb)
+                culled.append(nb)
+        for c in culled:
+            if c in kf_order:
+                kf_order.remove(c)
+
+        return state, db
+
+
+@jax.jit
+def keyframe_redundancy_cached(state: MapState, kf_slot):
+    return map_ops.keyframe_redundancy(state, kf_slot)

@@ -1,0 +1,457 @@
+"""System facade: the public API of the engine.
+
+Replaces the reference's `System` (reference: src/System.cc): owns the
+extractor, vocabulary, map state, tracker state machine and local mapper;
+exposes TrackMonocular/TrackStereo/TrackRGBD-equivalent entry points and
+trajectory export hooks. Where the reference spawns LocalMapping/
+LoopClosing threads (src/System.cc:106-124), this engine currently runs
+mapping synchronously per keyframe on the host thread while all heavy
+steps execute on-device; loop closing lives in engine/loop_closing.py.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import ExtractorConfig, ORBExtractor
+from ..geometry import se3
+from ..geometry.camera import Camera
+from ..matching import search
+from ..slam_map import MapConfig, keyframe_db, ops as map_ops, state as mstate
+from ..solvers import bundle_adjust as ba
+from ..solvers import initializer as init_solver
+from ..vocab import build_vocabulary
+from . import local_mapping, tracking
+from .frame import FrameData, build_frame
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0  # reference Tracking.h:60
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class SystemConfig:
+    camera: Camera = None
+    sensor: Sensor = Sensor.MONOCULAR
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    max_keyframes: int = 128
+    max_points: int = 16384
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30  # reference: camera fps
+    vocab_words: int = 512  # synthetic vocab (k^depth) when none supplied
+    # Reference requires >=100 init matches with a dedicated 2x-feature
+    # extractor (src/Tracking.cc:127-133, :663); with a single extractor
+    # the level-0 quota is half, so the gate scales accordingly.
+    init_min_matches: int = 60
+    init_min_triangulated: int = 40
+    enable_loop_closing: bool = True
+    loop_min_kfs: int = 10  # reference: map must have >10 KFs (LoopClosing.cc:131)
+
+
+@dataclass
+class TrackStats:
+    n_frames: int = 0
+    n_tracked: int = 0
+    n_lost: int = 0
+    n_keyframes: int = 0
+    n_reloc: int = 0
+
+
+class System:
+    """End-to-end SLAM engine (reference System.cc:32-135 ctor)."""
+
+    def __init__(self, config: SystemConfig, vocab=None, seed: int = 0):
+        self.cfg = config
+        cam = config.camera
+        assert cam is not None, "SystemConfig.camera required"
+        self.cam = cam
+        self.extractor = ORBExtractor(
+            ExtractorConfig(
+                n_features=config.n_features,
+                scale_factor=config.scale_factor,
+                n_levels=config.n_levels,
+                ini_th_fast=config.ini_th_fast,
+                min_th_fast=config.min_th_fast,
+            ),
+            cam.height,
+            cam.width,
+        )
+        self.map_cfg = MapConfig(
+            max_keyframes=config.max_keyframes,
+            max_features=config.n_features,
+            max_points=config.max_points,
+            n_levels=config.n_levels,
+            scale_factor=config.scale_factor,
+        )
+        if vocab is None:
+            # Deterministic synthetic vocabulary: a random-projection-style
+            # partition of descriptor space. Adequate for BoW gating and
+            # synthetic-scene loop closure; load_orbvoc_text() for real data.
+            rng = np.random.default_rng(seed)
+            train = rng.integers(0, 2**32, size=(4096, 8), dtype=np.uint32)
+            k = 8
+            import math
+
+            depth = max(2, int(round(math.log(config.vocab_words) / math.log(k))))
+            vocab = build_vocabulary(train, k=k, depth=depth, levelsup=max(1, depth - 2))
+        self.vocab = vocab
+
+        self.state = mstate.empty(self.map_cfg)
+        self.db = keyframe_db.empty(config.max_keyframes, config.n_features)
+        self.mapper = local_mapping.LocalMapper(self.map_cfg, cam)
+        self.scale_factors = jnp.asarray(self.map_cfg.scale_factors, jnp.float32)
+
+        self.tracking_state = TrackingState.NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None
+        self.last_pose: Optional[np.ndarray] = None
+        self.last_frame: Optional[FrameData] = None
+        self.init_frame: Optional[FrameData] = None
+        self.ref_kf: int = 0
+        self.kf_order: List[int] = []
+        self.recent_pts: List[int] = []
+        self.frame_id: int = 0
+        self.frames_since_kf: int = 0
+        self.trajectory: List[tuple] = []  # (timestamp, Tcw 4x4 np, ok)
+        self.stats = TrackStats()
+        self.loop_closer = None
+        if config.enable_loop_closing:
+            from .loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.map_cfg, cam, self.vocab)
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, image: np.ndarray, timestamp: float):
+        """Reference System::TrackMonocular -> Tracking::GrabImageMonocular
+        (src/System.cc:257-307, src/Tracking.cc:287-323). Returns 4x4 Tcw
+        (np.ndarray) or None while uninitialized/lost."""
+        assert self.cfg.sensor == Sensor.MONOCULAR
+        feats = self.extractor(image)
+        frame = build_frame(feats, self.cam, self.vocab)
+        pose = self._track(frame, timestamp)
+        self.frame_id += 1
+        return pose
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: FrameData, timestamp: float):
+        self.stats.n_frames += 1
+        if self.tracking_state in (
+            TrackingState.NO_IMAGES_YET,
+            TrackingState.NOT_INITIALIZED,
+        ):
+            pose = self._try_initialize(frame)
+            self.trajectory.append(
+                (timestamp, pose.copy() if pose is not None else None,
+                 pose is not None)
+            )
+            return pose
+
+        ok = False
+        pose = None
+        if self.tracking_state == TrackingState.OK:
+            pose, ok = self._track_from_last(frame)
+        if self.tracking_state == TrackingState.LOST or not ok:
+            pose, ok = self._relocalize(frame)
+            if ok:
+                self.stats.n_reloc += 1
+
+        if ok:
+            pose, ok = self._track_local_map(frame, pose)
+
+        if ok:
+            self.tracking_state = TrackingState.OK
+            self.stats.n_tracked += 1
+            if self.velocity is None or self.last_pose is None:
+                self.velocity = None
+            if self.last_pose is not None:
+                self.velocity = pose @ np.linalg.inv(self.last_pose)
+            self.last_pose = pose
+            # NOTE: self.last_frame already carries the refreshed map-point
+            # bindings (set inside _track_local_map); do not overwrite it
+            # with the binding-less input frame.
+            self.frames_since_kf += 1
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+        else:
+            self.tracking_state = TrackingState.LOST
+            self.stats.n_lost += 1
+            self.velocity = None
+
+        self.trajectory.append(
+            (timestamp, pose.copy() if ok else None, bool(ok))
+        )
+        return pose if ok else None
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, frame: FrameData):
+        n_valid = int(np.asarray(jnp.sum(frame.valid)))
+        min_feats = 2 * self.cfg.init_min_matches
+        if self.tracking_state == TrackingState.NO_IMAGES_YET or self.init_frame is None:
+            if n_valid >= min_feats:
+                self.init_frame = frame
+                self.tracking_state = TrackingState.NOT_INITIALIZED
+            return None
+
+        if n_valid < min_feats:
+            self.init_frame = None
+            return None
+
+        f1 = self.init_frame
+        m = search.for_initialization(
+            f1.uv, f1.bip, f1.valid, f1.ang,
+            frame.uv, frame.bip, frame.valid, frame.ang, frame.oct,
+            f1.oct, window=100.0,
+        )
+        idx = np.asarray(m.idx)
+        matched = idx >= 0
+        if matched.sum() < self.cfg.init_min_matches:  # reference: <100 resets (Tracking.cc:663)
+            self.init_frame = frame if n_valid >= min_feats else None
+            return None
+
+        import jax
+
+        xy1 = f1.uv
+        xy2 = frame.uv[jnp.clip(m.idx, 0)]
+        res = init_solver.initialize_two_view(
+            xy1, xy2, jnp.asarray(matched), self.cam.K,
+            jax.random.PRNGKey(self.frame_id),
+            min_triangulated=self.cfg.init_min_triangulated,
+        )
+        if not bool(res.success):
+            return None
+
+        pose1 = self._create_initial_map(f1, frame, m, res)
+        return pose1
+
+    def _create_initial_map(self, f1: FrameData, f2: FrameData, m, res):
+        """CreateInitialMapMonocular (reference src/Tracking.cc:709-812):
+        two keyframes, triangulated points, full BA, median-depth scale
+        normalization."""
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = R
+        T2[:3, 3] = t
+
+        is_pt = np.asarray(res.is_point)
+        pts = np.asarray(res.points)
+        idx2 = np.asarray(m.idx)
+        sel = np.flatnonzero(is_pt & (idx2 >= 0))
+        n_new = len(sel)
+        if n_new < self.cfg.init_min_triangulated:
+            return None
+
+        # Median-depth normalization (reference :780-800).
+        med_depth = float(np.median(pts[sel][:, 2]))
+        if med_depth <= 0:
+            return None
+        inv_med = 1.0 / med_depth
+        T2[:3, 3] *= inv_med
+        pts_n = pts * inv_med
+
+        st = self.state
+        slot1, slot2 = 0, 1
+        mp1 = np.full(f1.capacity, -1, np.int32)
+        mp2 = np.full(f2.capacity, -1, np.int32)
+        pt_slots = np.arange(n_new, dtype=np.int32)
+        mp1[sel] = pt_slots
+        mp2[idx2[sel]] = pt_slots
+
+        for slot, fr, T, mp in (
+            (slot1, f1, T1, mp1),
+            (slot2, f2, T2, mp2),
+        ):
+            st = mstate.insert_keyframe(
+                st, slot, jnp.asarray(T), self.frame_id - (1 if slot == slot1 else 0),
+                fr.uv, fr.right, fr.depth, fr.oct, fr.ang, fr.desc,
+                fr.valid, fr.word, fr.node, jnp.asarray(mp),
+            )
+        st = mstate.add_points(
+            st,
+            jnp.asarray(pt_slots),
+            jnp.asarray(pts_n[sel], jnp.float32),
+            jnp.ones((n_new,), bool),
+            f1.desc[jnp.asarray(sel)],
+            jnp.zeros((n_new, 3), jnp.float32),
+            jnp.zeros((n_new,), jnp.float32),
+            jnp.full((n_new,), 1e9, jnp.float32),
+            jnp.full((n_new,), slot1, jnp.int32),
+            jnp.full((n_new,), slot1, jnp.int32),
+        )
+        st = map_ops.update_point_stats(st, self.map_cfg)
+
+        # Full BA on the 2-view map (reference GlobalBundleAdjustemnt(20)).
+        problem, cam_slots, pt_slots_j = local_mapping.gather_local_ba_problem(
+            st, slot2, self.cam, 1.0 / jnp.asarray(self.map_cfg.level_sigma2),
+            n_local=2, n_fixed=1, n_points=min(4096, self.map_cfg.max_points),
+        )
+        result = ba.bundle_adjust(problem, self.cam, lm_iters=20, cg_iters=20)
+        st = local_mapping.scatter_ba_result(st, result, problem, cam_slots, pt_slots_j)
+
+        # Register BoW rows.
+        db = self.db
+        for slot, fr in ((slot1, f1), (slot2, f2)):
+            wu, wt = keyframe_db.compute_bow_row(fr.word, fr.idf, fr.valid)
+            db = keyframe_db.insert(db, slot, wu, wt)
+
+        self.state = st
+        self.db = db
+        self.kf_order = [slot1, slot2]
+        self.recent_pts = pt_slots.tolist()
+        self.ref_kf = slot2
+        pose2 = np.asarray(st.kf_pose[slot2])
+        self.last_pose = pose2
+        self.velocity = None
+        self.last_frame = f2._replace(mp=st.kf_mp[slot2])
+        self.tracking_state = TrackingState.OK
+        self.frames_since_kf = 0
+        self.stats.n_keyframes = 2
+        return pose2
+
+    # ------------------------------------------------------------------
+    def _track_from_last(self, frame: FrameData):
+        lf = self.last_frame
+        if self.velocity is not None:
+            pose_pred = jnp.asarray(self.velocity @ self.last_pose)
+        else:
+            pose_pred = jnp.asarray(self.last_pose)
+        radius = (
+            tracking.MOTION_MODEL_RADIUS_STEREO
+            if self.cfg.sensor == Sensor.STEREO
+            else tracking.MOTION_MODEL_RADIUS
+        )
+        pose, mp, n_matches, n_inl = tracking.track_motion_model(
+            self.state, frame, pose_pred,
+            lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
+            self.cam, self.scale_factors, radius,
+        )
+        if int(n_matches) >= tracking.MIN_MATCHES_MOTION and int(n_inl) >= tracking.MIN_INLIERS_TRACK:
+            self.last_frame = frame  # bindings set below by caller
+            frame_mp = mp
+            self.last_frame = frame._replace(mp=frame_mp)
+            return np.asarray(pose), True
+
+        # Fallback: reference keyframe tracking (reference Tracking.cc:352).
+        pose, mp, n_matches, n_inl = tracking.track_reference_kf(
+            self.state, frame, jnp.asarray(self.last_pose), self.ref_kf, self.cam
+        )
+        if int(n_matches) >= tracking.MIN_MATCHES_REF_KF and int(n_inl) >= tracking.MIN_INLIERS_TRACK:
+            self.last_frame = frame._replace(mp=mp)
+            return np.asarray(pose), True
+        return None, False
+
+    def _relocalize(self, frame: FrameData):
+        """Relocalization (reference src/Tracking.cc:1427-1600): BoW
+        candidates from the database, BoW matching + P3P/EPnP RANSAC."""
+        from . import relocalization
+
+        pose, mp, ok = relocalization.relocalize(
+            self.state, self.db, frame, self.cam, self.vocab.n_words,
+            self.scale_factors,
+        )
+        if not ok:
+            return None, False
+        self.last_frame = frame._replace(mp=mp)
+        return np.asarray(pose), True
+
+    def _track_local_map(self, frame: FrameData, pose):
+        frame = self.last_frame  # bindings refreshed by the previous step
+        kf_mask, pt_mask, ref_kf = tracking.assemble_local_map(
+            self.state, frame.mp
+        )
+        self.ref_kf = int(ref_kf)
+        pose2, mp, n_inl, n_visible, visible = tracking.track_local_map(
+            self.state, frame, jnp.asarray(pose), pt_mask, self.cam,
+            self.scale_factors, 1.0,
+        )
+        # Visibility statistics (reference IncreaseVisible/IncreaseFound).
+        self.state = map_ops.increase_visible(
+            self.state,
+            jnp.where(visible, jnp.arange(visible.shape[0], dtype=jnp.int32), -1),
+        )
+        self.state = map_ops.increase_found(self.state, mp)
+        self.last_frame = frame._replace(mp=mp)
+        self.n_inliers_local = int(n_inl)
+        if int(n_inl) >= tracking.MIN_INLIERS_LOCAL:
+            return np.asarray(pose2), True
+        return np.asarray(pose2), False
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: FrameData) -> bool:
+        """Reference NeedNewKeyFrame (src/Tracking.cc:1057-1145),
+        simplified to the dominant mono conditions: enough frames since
+        the last KF or tracking weakening vs the reference keyframe."""
+        if len(self.kf_order) == 0:
+            return False
+        n_kfs = len(self.kf_order)
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_tracked = int(
+            tracking.count_ref_tracked(self.state, self.ref_kf, min_obs)
+        )
+        inliers = self.n_inliers_local
+        c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
+        c1b = self.frames_since_kf >= self.cfg.min_frames_between_kf
+        c2 = (inliers < ref_tracked * 0.9) and inliers > 15
+        return (c1a or (c1b and c2)) and inliers > 15
+
+    def _create_keyframe(self, frame: FrameData):
+        """CreateNewKeyFrame + synchronous local mapping (reference
+        src/Tracking.cc:1146-1228 + LocalMapping::Run body)."""
+        frame = self.last_frame
+        kf_valid = np.asarray(self.state.kf_valid)
+        free = np.flatnonzero(~kf_valid)
+        if len(free) == 0:
+            raise RuntimeError(
+                f"keyframe capacity exhausted ({self.cfg.max_keyframes})"
+            )
+        slot = int(free[0])
+        self.state = mstate.insert_keyframe(
+            self.state, slot, jnp.asarray(self.last_pose), self.frame_id,
+            frame.uv, frame.right, frame.depth, frame.oct, frame.ang,
+            frame.desc, frame.valid, frame.word, frame.node, frame.mp,
+        )
+        wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
+        self.db = keyframe_db.insert(self.db, slot, wu, wt)
+        self.kf_order.append(slot)
+        self.ref_kf = slot
+        self.frames_since_kf = 0
+        self.stats.n_keyframes += 1
+
+        self.state, self.db = self.mapper.process_keyframe(
+            self.state, self.db, slot, self.recent_pts, self.kf_order
+        )
+        # Keyframe culling may have invalidated the ref.
+        if not bool(np.asarray(self.state.kf_valid[self.ref_kf])):
+            self.ref_kf = self.kf_order[-1]
+
+        if self.loop_closer is not None and len(self.kf_order) > 3:
+            self.state, self.db = self.loop_closer.process(
+                self.state, self.db, slot, self.kf_order
+            )
+
+    # ------------------------------------------------------------------
+    def get_trajectory(self):
+        """[(timestamp, Tcw or None, ok)] for export (reference
+        SaveTrajectoryTUM/KITTI source data, src/System.cc:361-511)."""
+        return self.trajectory
+
+    def tracked_ratio(self):
+        return self.stats.n_tracked / max(self.stats.n_frames, 1)

@@ -1,0 +1,245 @@
+"""Tracking: the per-frame front-end state machine.
+
+Replaces the reference's `Tracking` engine (reference: src/Tracking.cc):
+the host drives the NO_IMAGES_YET / NOT_INITIALIZED / OK / LOST state
+machine (Tracking.h:59-65) and keyframe policy, while every compute step
+— motion-model matching, reference-KF matching, local-map tracking, pose
+optimization — is a jitted batched function over the map PyTree.
+
+Data-dependent branching (which tracking mode ran, lost/recovered, new
+keyframe decisions) stays host-side, mirroring SURVEY.md §7 hard part (e);
+each branch body is a compiled function reused across frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+from ..matching import search
+from ..ops import hamming
+from ..slam_map import MapConfig, MapState, ops as map_ops
+from ..solvers import pose_opt
+from .frame import FrameData
+
+# Reference thresholds (src/Tracking.cc).
+MOTION_MODEL_RADIUS = 15.0  # :965 th=15 (non-stereo)
+MOTION_MODEL_RADIUS_STEREO = 7.0
+MIN_MATCHES_MOTION = 20  # :977
+MIN_INLIERS_TRACK = 10  # :1000
+MIN_MATCHES_REF_KF = 15  # :849
+MIN_INLIERS_LOCAL = 30  # :1049
+
+
+class TrackStepResult(NamedTuple):
+    pose: jnp.ndarray
+    mp: jnp.ndarray  # (N,) refreshed bindings (outliers unbound)
+    n_inliers: jnp.ndarray
+
+
+@jax.jit
+def track_motion_model(
+    state: MapState,
+    frame: FrameData,
+    pose_pred,
+    last_uv,
+    last_oct,
+    last_ang,
+    last_bip,
+    last_mp,
+    cam: Camera,
+    scale_factors,
+    radius,
+):
+    """TrackWithMotionModel (reference src/Tracking.cc:942-1006): project
+    the last frame's bound map points at their *current* map positions
+    into the predicted pose, window-match, then pose-only LM."""
+    from ..geometry import camera as cam_mod
+
+    q_valid = last_mp >= 0
+    Xw = state.mp_xyz[jnp.clip(last_mp, 0)]
+    Xc = se3.transform(pose_pred, Xw)
+    proj = cam_mod.project(cam, Xc)
+    in_front = Xc[:, 2] > 0
+    q_valid = q_valid & in_front & state.mp_valid[jnp.clip(last_mp, 0)]
+
+    m = search.by_projection(
+        proj, last_bip, q_valid, last_oct,
+        frame.uv, frame.oct, frame.ang, frame.bip, frame.valid,
+        scale_factors, radius=radius,
+        q_ang=last_ang,
+        max_dist=100.0, ratio=0.9, check_rotation=True,
+    )
+    # Bind: frame feature m.idx[q] <- point last_mp[q].
+    n = frame.capacity
+    mp_new = jnp.full((n,), -1, jnp.int32)
+    ok = m.idx >= 0
+    mp_new = mp_new.at[jnp.clip(m.idx, 0)].set(
+        jnp.where(ok, last_mp, mp_new[jnp.clip(m.idx, 0)])
+    )
+    n_matches = jnp.sum(ok)
+    pose, mp_out, n_inl = _optimize_and_prune(state, frame, pose_pred, mp_new, cam)
+    return pose, mp_out, n_matches, n_inl
+
+
+@jax.jit
+def track_reference_kf(
+    state: MapState,
+    frame: FrameData,
+    pose_init,
+    ref_kf,
+    cam: Camera,
+):
+    """TrackReferenceKeyFrame (reference src/Tracking.cc:830-875):
+    BoW-gated matching against the reference keyframe's map points, then
+    pose-only LM from the last frame's pose."""
+    kf_bip = hamming.bipolar(state.kf_desc[ref_kf])
+    kf_mp = state.kf_mp[ref_kf]
+    kf_has_pt = (kf_mp >= 0) & state.mp_valid[jnp.clip(kf_mp, 0)]
+    m = search.by_bow(
+        state.kf_node[ref_kf], kf_bip, state.kf_feat_valid[ref_kf],
+        state.kf_ang[ref_kf],
+        frame.node, frame.bip, frame.valid, frame.ang,
+        ratio=0.7, check_rotation=True, f1_has_point=kf_has_pt,
+    )
+    n = frame.capacity
+    ok = m.idx >= 0
+    mp_new = jnp.full((n,), -1, jnp.int32)
+    mp_new = mp_new.at[jnp.clip(m.idx, 0)].set(
+        jnp.where(ok, kf_mp, mp_new[jnp.clip(m.idx, 0)])
+    )
+    n_matches = jnp.sum(ok)
+    pose, mp_out, n_inl = _optimize_and_prune(state, frame, pose_init, mp_new, cam)
+    return pose, mp_out, n_matches, n_inl
+
+
+def _optimize_and_prune(state, frame, pose0, mp, cam):
+    """Pose-only LM on current bindings + unbind chi2 outliers
+    (the reference deletes outlier mvpMapPoints after PoseOptimization,
+    src/Tracking.cc:986-999)."""
+    bound = (mp >= 0) & frame.valid
+    Xw = state.mp_xyz[jnp.clip(mp, 0)]
+    inv_sigma2 = 1.0 / jnp.asarray(
+        [1.2 ** (2 * i) for i in range(8)], jnp.float32
+    )[jnp.clip(frame.oct, 0, 7)]
+    res = pose_opt.optimize_pose(
+        pose0, Xw, frame.uv, frame.right, inv_sigma2, bound, cam
+    )
+    mp_out = jnp.where(res.inliers, mp, -1)
+    return res.pose, mp_out, res.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("max_local_kfs",))
+def assemble_local_map(
+    state: MapState,
+    frame_mp,
+    max_local_kfs: int = 20,
+):
+    """UpdateLocalKeyFrames + UpdateLocalPoints (reference
+    src/Tracking.cc:1291-1426): keyframes sharing points with the current
+    frame (+ their best covisible neighbors), then the union of their
+    points.
+
+    Returns (local_kf_mask (K,), local_pt_mask (P,), ref_kf best-sharing
+    keyframe slot)."""
+    counts = map_ops.covisibility_counts_for_bindings(state, frame_mp)  # (K,)
+    sharing = counts > 0
+    ref_kf = jnp.argmax(counts).astype(jnp.int32)
+    # Keep the strongest max_local_kfs sharers.
+    top = map_ops.top_covisible(counts, max_local_kfs)
+    kf_mask = jnp.zeros_like(sharing).at[jnp.clip(top, 0)].set(top >= 0)
+    kf_mask = kf_mask & sharing
+    # Add each local KF's top-10 covisibility neighbors (reference adds
+    # neighbors, parents, children; covisibility is the dominant term).
+    covis = map_ops.covisibility_matrix(state)
+    neigh_w = jnp.max(jnp.where(kf_mask[:, None], covis, 0), axis=0)  # (K,)
+    top_n = map_ops.top_covisible(neigh_w, 10)
+    kf_mask = kf_mask.at[jnp.clip(top_n, 0)].set(
+        kf_mask[jnp.clip(top_n, 0)] | (top_n >= 0)
+    )
+    kf_mask = kf_mask & state.kf_valid
+    pt_mask = map_ops.points_of_keyframes(state, kf_mask)
+    return kf_mask, pt_mask, ref_kf
+
+
+@jax.jit
+def track_local_map(
+    state: MapState,
+    frame: FrameData,
+    pose,
+    local_pt_mask,
+    cam: Camera,
+    scale_factors,
+    radius,
+):
+    """SearchLocalPoints + pose refinement (reference
+    src/Tracking.cc:1007-1290): frustum-cull the local points, window-match
+    the unmatched ones into the frame, re-run pose-only LM with all
+    bindings.
+
+    Local points are processed densely over the full (P,) capacity with
+    masks — the per-point `isInFrustum` loop (src/Frame.cc:268-325)
+    becomes one batched projection.
+    """
+    from ..geometry import camera as cam_mod
+
+    P = state.mp_xyz.shape[0]
+    already = jnp.zeros((P,), bool).at[jnp.clip(frame.mp, 0)].set(frame.mp >= 0)
+    cand = local_pt_mask & state.mp_valid & ~already
+
+    Xc = se3.transform(pose, state.mp_xyz)
+    proj = cam_mod.project(cam, Xc)
+    in_img = (
+        (proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
+        & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height)
+    )
+    in_front = Xc[:, 2] > 0
+    Rwc_t = -jnp.einsum("ij,j->i", pose[:3, :3].T, pose[:3, 3])
+    vec = state.mp_xyz - Rwc_t[None, :]
+    dist = jnp.linalg.norm(vec, axis=-1)
+    dist_ok = (dist >= state.mp_min_dist * 0.8) & (dist <= state.mp_max_dist * 1.2)
+    view_cos = jnp.sum(vec * state.mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    view_ok = view_cos > 0.5  # reference viewingCosLimit=0.5
+    visible = cand & in_front & in_img & dist_ok & view_ok
+
+    n_lvls = len(scale_factors)
+    pred_oct = search.predict_octave(
+        dist, state.mp_max_dist, jnp.log(jnp.float32(scale_factors[1])), n_lvls
+    )
+    # Reference: r = 2.5 if viewCos > 0.998 else 4.0 (src/Tracking.cc:1246).
+    r_scale = jnp.where(view_cos > 0.998, 2.5, 4.0) / 4.0
+
+    mp_bip = hamming.bipolar(state.mp_desc)
+    m = search.by_projection(
+        proj, mp_bip, visible, pred_oct,
+        frame.uv, frame.oct, frame.ang, frame.bip, frame.valid,
+        scale_factors, radius=radius * 4.0,
+        q_radius_scale=r_scale,
+        max_dist=50.0, ratio=0.8,
+        t_has_point=frame.mp >= 0,
+    )
+    ok = m.idx >= 0
+    pt_ids = jnp.arange(P, dtype=jnp.int32)
+    mp_new = frame.mp.at[jnp.clip(m.idx, 0)].set(
+        jnp.where(ok, pt_ids, frame.mp[jnp.clip(m.idx, 0)])
+    )
+    pose2, mp_out, n_inl = _optimize_and_prune(state, frame, pose, mp_new, cam)
+    n_visible = jnp.sum(visible)
+    return pose2, mp_out, n_inl, n_visible, visible
+
+
+@jax.jit
+def count_ref_tracked(state: MapState, ref_kf, min_obs):
+    """TrackedMapPoints of the reference KF (reference
+    KeyFrame::TrackedMapPoints, src/KeyFrame.cc:222-243) for the
+    NeedNewKeyFrame ratio."""
+    obs = map_ops.observation_counts(state)
+    mp = state.kf_mp[ref_kf]
+    ok = (mp >= 0) & (obs[jnp.clip(mp, 0)] >= min_obs)
+    return jnp.sum(ok)

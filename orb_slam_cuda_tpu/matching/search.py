@@ -52,6 +52,7 @@ def by_projection(
     ratio_same_level_only: bool = True,
     check_rotation: bool = False,
     t_has_point=None,
+    q_radius_scale=None,
 ):
     """Generic projection-window search.
 
@@ -77,6 +78,8 @@ def by_projection(
     """
     sf = jnp.asarray(scale_factors, jnp.float32)
     r = radius * sf[jnp.clip(q_pred_octave, 0, sf.shape[0] - 1)]  # (Q,)
+    if q_radius_scale is not None:
+        r = r * q_radius_scale
     du = jnp.abs(q_uv[:, 0:1] - t_uv[None, :, 0])
     dv = jnp.abs(q_uv[:, 1:2] - t_uv[None, :, 1])
     window = (du <= r[:, None]) & (dv <= r[:, None])

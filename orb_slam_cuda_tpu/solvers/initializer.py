@@ -163,11 +163,13 @@ def _check_rt(R, t, K, xy1, xy2, valid, th2: float = 4.0):
         valid & finite & (z1 > 0) & (z2 > 0) & good_parallax
         & (e1 < th2) & (e2 < th2)
     )
-    # Parallax statistic: ~50th-largest good parallax in the reference
-    # (it takes min(50, size)-th); use the 75th percentile of good ones.
-    cosp_good = jnp.where(good, cosp, 1.0)
+    # Parallax statistic: the reference takes the min(50, n_good)-th
+    # smallest cosParallax among good points (src/Initializer.cc:888-895).
+    # Sort ascending with non-good pushed to the end, then index.
+    cosp_sorted = jnp.sort(jnp.where(good, cosp, 2.0))
     n_good = jnp.sum(good)
-    parallax_cos = jnp.quantile(jnp.where(good, cosp_good, 1.0), 0.25)
+    stat_idx = jnp.clip(jnp.minimum(50, n_good) - 1, 0, cosp.shape[0] - 1)
+    parallax_cos = jnp.minimum(cosp_sorted[stat_idx], 1.0)
     return n_good, good, X, parallax_cos
 
 
