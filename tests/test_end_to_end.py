@@ -1,0 +1,103 @@
+"""End-to-end SLAM tests on synthetic scenes with ATE gates.
+
+The reference validates only via dataset runs + external ATE tooling
+(SURVEY.md §4); these tests are the CI-runnable equivalent: rendered
+planar scenes with exact ground truth, gated on sim(3)-aligned ATE-RMSE
+relative to scene depth.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam_cuda_tpu.engine import Sensor, System, SystemConfig
+from orb_slam_cuda_tpu.geometry.camera import Camera
+from orb_slam_cuda_tpu.utils import synthetic
+from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
+
+W, H = 320, 240
+
+
+def run_sequence(slam, scene, poses, K):
+    gt_centers = []
+    for i, T in enumerate(poses):
+        img = scene.render(K, T, W, H)
+        slam.track_monocular(img, i * 0.1)
+        gt_centers.append((i * 0.1, np.linalg.inv(T)[:3, 3]))
+    ts, est = camera_centers(slam.get_trajectory())
+    gt_map = dict((round(t, 6), c) for t, c in gt_centers)
+    gt = np.asarray([gt_map[round(t, 6)] for t in ts])
+    return est, gt
+
+
+@pytest.fixture(scope="module")
+def scene_and_cam():
+    rng = np.random.default_rng(42)
+    cam = Camera.create(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, width=W, height=H)
+    scene = synthetic.PlanarScene.default(
+        rng, depth=5.0, second_depth=8.0, extent=12.0, tex_size=768
+    )
+    return scene, cam
+
+
+def make_system(cam, **kw):
+    cfg = SystemConfig(
+        camera=cam, sensor=Sensor.MONOCULAR, n_features=600,
+        max_keyframes=64, max_points=8192, enable_loop_closing=False,
+        max_frames_between_kf=10, **kw,
+    )
+    return System(cfg)
+
+
+class TestMonocularEndToEnd:
+    def test_tracks_orbit_sequence(self, scene_and_cam):
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(40, radius=0.6)
+        slam = make_system(cam)
+        est, gt = run_sequence(slam, scene, poses, np.asarray(cam.K))
+        assert slam.tracked_ratio() > 0.85
+        assert len(est) >= 30
+        ate = ate_rmse(est, gt)
+        # Scene depth 5m: gate at 2% of depth (observed ~0.05).
+        assert ate < 0.10, f"ATE {ate:.3f} too high"
+
+    def test_map_grows_and_culls(self, scene_and_cam):
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(30, radius=0.5)
+        slam = make_system(cam)
+        run_sequence(slam, scene, poses, np.asarray(cam.K))
+        n_pts = int(np.asarray(slam.state.mp_valid).sum())
+        n_kfs = int(np.asarray(slam.state.kf_valid).sum())
+        assert n_pts > 100
+        assert 2 <= n_kfs <= 30
+        # Observation table consistent: bound points are valid points.
+        kf_mp = np.asarray(slam.state.kf_mp)
+        mp_valid = np.asarray(slam.state.mp_valid)
+        bound = kf_mp[kf_mp >= 0]
+        assert mp_valid[bound].all()
+
+    def test_static_camera_does_not_initialize(self, scene_and_cam):
+        scene, cam = scene_and_cam
+        T = np.eye(4)
+        slam = make_system(cam)
+        for i in range(6):
+            slam.track_monocular(scene.render(np.asarray(cam.K), T, W, H), i * 0.1)
+        assert slam.stats.n_keyframes == 0  # no parallax -> no map
+
+    def test_relocalizes_after_blackout(self, scene_and_cam):
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(36, radius=0.6)
+        slam = make_system(cam)
+        K = np.asarray(cam.K)
+        blank = np.zeros((H, W), np.uint8)
+        tracked_after = 0
+        for i, T in enumerate(poses):
+            if 20 <= i < 23:
+                img = blank  # occlusion: tracking must drop to LOST
+            else:
+                img = scene.render(K, T, W, H)
+            pose = slam.track_monocular(img, i * 0.1)
+            if i >= 23 and pose is not None:
+                tracked_after += 1
+        assert slam.stats.n_lost >= 2
+        assert tracked_after >= 8, "failed to relocalize after blackout"
+        assert slam.stats.n_reloc >= 1
