@@ -49,10 +49,16 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """(…,3,3) rotation matrix -> (…,3) axis-angle."""
+    """(…,3,3) rotation matrix -> (…,3) axis-angle.
+
+    Formulated for differentiation safety: theta comes from atan2 (finite
+    derivative at identity, unlike arccos'(1) = -inf), and every branch of
+    the `where` selects is evaluated on guarded inputs so jacfwd/jacrev
+    through this function stay NaN-free at theta -> 0 (pose-graph
+    residuals sit exactly there at convergence).
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -61,10 +67,16 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    # theta/(2 sin(theta)) with Taylor fallback; near pi use the diagonal form.
-    small = jnp.abs(sin_t) < 1e-5
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(small, 1.0, sin_t)))
+    # |w| = 2 sin(theta); sqrt(x+eps) keeps d|w|/dw finite (=0) at w=0.
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = theta < 1e-4
+    theta_safe = jnp.where(small, 1.0, theta)
+    sin_safe = jnp.where(small, 1.0, sin_t)
+    # log = theta/(2 sin theta) * w, Taylor 0.5 + theta^2/12 near 0.
+    scale = jnp.where(
+        small, 0.5 + theta * theta / 12.0, 0.5 * theta_safe / sin_safe
+    )
     log_generic = scale[..., None] * w
     # Near theta == pi, w ~ 0; recover axis from diag(R): R = I*cos + (1-cos) aa^T + sin [a]_x.
     near_pi = theta > 3.0
