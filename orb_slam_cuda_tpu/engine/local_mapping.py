@@ -357,27 +357,37 @@ class LocalMapper:
     67-135, run synchronously per keyframe here; async dispatch is the
     engine-level roadmap)."""
 
-    def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=5,
+    def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=12,
                  lba_local=16, lba_fixed=8, lba_points=4096):
+        # n_triangulate_neighbors: reference uses 20 covisibility
+        # neighbors for mono, 10 otherwise (src/LocalMapping.cc:246).
         self.cfg = cfg
         self.cam = cam
         self.n_tri_nb = n_triangulate_neighbors
         self.lba_local = lba_local
         self.lba_fixed = lba_fixed
         self.lba_points = lba_points
+        self._next_pt_slot = 0  # rotating allocator (delays slot reuse)
         sf = cfg.scale_factors
         self.scale_factors = jnp.asarray(sf, jnp.float32)
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.level_inv_sigma2 = 1.0 / self.level_sigma2
 
     def free_point_slots(self, state: MapState, n: int) -> np.ndarray:
+        """Rotating free-slot allocation: freshly-culled slots are reused
+        LAST, so stale indices (old frame bindings, probation entries)
+        cannot silently alias a new point."""
         free = np.flatnonzero(~np.asarray(state.mp_valid))
         if len(free) < n:
             raise RuntimeError(
                 f"map point capacity exhausted ({self.cfg.max_points}); "
                 "raise MapConfig.max_points"
             )
-        return free[:n]
+        pos = np.searchsorted(free, self._next_pt_slot)
+        free = np.concatenate([free[pos:], free[:pos]])
+        sel = free[:n]
+        self._next_pt_slot = (int(sel[-1]) + 1) % self.cfg.max_points
+        return sel
 
     def process_keyframe(self, state: MapState, db, kf_slot: int,
                          recent_pts: list, kf_order: list):
@@ -424,7 +434,8 @@ class LocalMapper:
                 state, nb, tri.feat_nb[sel_j], slots_j, jnp.ones((n_new,), bool)
             )
             new_pts_total.extend(slots.tolist())
-        recent_pts.extend(new_pts_total)
+        born = len(kf_order)
+        recent_pts.extend((p, born) for p in new_pts_total)
 
         # --- SearchInNeighbors fusion (both directions) ---
         own_pts = np.asarray(state.kf_mp[kf_slot])
@@ -449,30 +460,29 @@ class LocalMapper:
         state = scatter_ba_result(state, result, problem, cam_slots, pt_slots)
 
         # --- MapPointCulling (probation list) ---
-        if recent_pts and len(kf_order) >= 1:
-            cur_order = state.kf_frame_id[kf_slot]
-            lo = (
-                state.kf_frame_id[kf_order[-3]]
-                if len(kf_order) >= 3
-                else jnp.int32(0)
-            )
+        # recent_pts holds (point_slot, kf_count_at_creation); ages are in
+        # keyframe counts, matching the reference's mnCurrentKFid -
+        # mnFirstKFid semantics and immune to slot recycling.
+        if recent_pts:
+            P = self.cfg.max_points
+            cur = len(kf_order)
+            probation = np.zeros(P, bool)
+            age = np.zeros(P, np.int32)
+            for p, born in recent_pts:
+                probation[p] = True
+                age[p] = cur - born
             cull = map_ops.cull_points(
-                state, lo, cur_order, state.kf_frame_id, th_obs=2
+                state, jnp.asarray(probation), jnp.asarray(age), th_obs=2
             )
             cull_n = np.asarray(cull)
             state = mstate.erase_points(state, cull)
+            mp_valid_n = np.asarray(state.mp_valid)
+            # Survivors stay on probation until 3 keyframes old
+            # (reference :230-233).
             recent_pts[:] = [
-                p for p in recent_pts
-                if not cull_n[p] and bool(np.asarray(state.mp_valid)[p])
+                (p, born) for p, born in recent_pts
+                if not cull_n[p] and mp_valid_n[p] and cur - born < 3
             ]
-            # Points that survived 3 keyframes leave probation.
-            first = np.asarray(state.mp_first_kf)
-            if len(kf_order) >= 3:
-                old_kf_fid = int(np.asarray(state.kf_frame_id[kf_order[-3]]))
-                fid = np.asarray(state.kf_frame_id)
-                recent_pts[:] = [
-                    p for p in recent_pts if fid[first[p]] > old_kf_fid
-                ]
 
         # --- KeyFrameCulling on local neighbors ---
         culled = []

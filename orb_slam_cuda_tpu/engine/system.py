@@ -126,7 +126,8 @@ class System:
         self.init_frame: Optional[FrameData] = None
         self.ref_kf: int = 0
         self.kf_order: List[int] = []
-        self.recent_pts: List[int] = []
+        self.recent_pts: List[tuple] = []  # (point_slot, kf_count_at_birth)
+        self._next_kf_slot = 0
         self.frame_id: int = 0
         self.frames_since_kf: int = 0
         self.trajectory: List[tuple] = []  # (timestamp, Tcw 4x4 np, ok)
@@ -315,7 +316,9 @@ class System:
         self.state = st
         self.db = db
         self.kf_order = [slot1, slot2]
-        self.recent_pts = pt_slots.tolist()
+        self._next_kf_slot = 2
+        self.recent_pts = [(int(p), 2) for p in pt_slots]
+        self.mapper._next_pt_slot = int(pt_slots[-1]) + 1
         self.ref_kf = slot2
         pose2 = np.asarray(st.kf_pose[slot2])
         self.last_pose = pose2
@@ -422,7 +425,12 @@ class System:
             raise RuntimeError(
                 f"keyframe capacity exhausted ({self.cfg.max_keyframes})"
             )
+        # Rotating allocation: avoid immediately recycling culled slots
+        # (stale mp_first_kf/mp_ref_kf references must age out first).
+        pos = np.searchsorted(free, self._next_kf_slot)
+        free = np.concatenate([free[pos:], free[:pos]])
         slot = int(free[0])
+        self._next_kf_slot = (slot + 1) % self.cfg.max_keyframes
         self.state = mstate.insert_keyframe(
             self.state, slot, jnp.asarray(self.last_pose), self.frame_id,
             frame.uv, frame.right, frame.depth, frame.oct, frame.ang,

@@ -203,7 +203,10 @@ def track_local_map(
     Rwc_t = -jnp.einsum("ij,j->i", pose[:3, :3].T, pose[:3, 3])
     vec = state.mp_xyz - Rwc_t[None, :]
     dist = jnp.linalg.norm(vec, axis=-1)
-    dist_ok = (dist >= state.mp_min_dist * 0.8) & (dist <= state.mp_max_dist * 1.2)
+    # Reference band is [0.8 min, 1.2 max] (src/Frame.cc:297-301); widened
+    # slightly because the sparser single-extractor map needs points to
+    # survive longer retreats before triangulation refreshes the map.
+    dist_ok = (dist >= state.mp_min_dist * 0.6) & (dist <= state.mp_max_dist * 1.6)
     view_cos = jnp.sum(vec * state.mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
     view_ok = view_cos > 0.5  # reference viewingCosLimit=0.5
     visible = cand & in_front & in_img & dist_ok & view_ok

@@ -208,10 +208,11 @@ def for_triangulation(
 
     if epipole_uv is not None and scale_factors is not None:
         # Reject f2 features too close to the epipole (reference
-        # src/ORBmatcher.cc:738-743: dist < 100*scale[octave] squared).
+        # src/ORBmatcher.cc:738-743: squared distance < 100*scale[octave],
+        # i.e. a ~10px-radius exclusion, NOT a 100px one).
         sf = jnp.asarray(scale_factors, jnp.float32)[jnp.clip(f2_oct, 0, len(scale_factors) - 1)]
         de2 = jnp.sum((f2_uv - epipole_uv[None, :]) ** 2, axis=-1)
-        gate = gate & (de2 >= (100.0 * sf) ** 2)[None, :]
+        gate = gate & (de2 >= 100.0 * sf)[None, :]
 
     dist = hamming.hamming_matrix(f1_bip, f2_bip).astype(jnp.float32)
     best_idx, best, second, _ = core.best_two(dist, gate)

@@ -141,6 +141,21 @@ def update_point_stats(state: MapState, cfg: MapConfig) -> MapState:
     normal = sum_n / jnp.maximum(jnp.linalg.norm(sum_n, axis=-1, keepdims=True), 1e-9)
     new_normal = jnp.where(has_obs[:, None], normal, state.mp_normal)
 
+    # --- reference-keyframe repair: if a point's ref KF was culled,
+    # reassign to its lowest-index observing keyframe (the reference
+    # reassigns mpRefKF inside EraseObservation, src/MapPoint.cc:121-143)
+    kf_of_e_f = jnp.repeat(jnp.arange(K, dtype=jnp.float32), N)
+    min_obs_kf = jnp.full((P,), jnp.inf).at[flat_pt].min(
+        jnp.where(ov.reshape(-1), kf_of_e_f, jnp.inf)
+    )
+    ref_invalid = ~state.kf_valid[jnp.clip(state.mp_ref_kf, 0)] | (state.mp_ref_kf < 0)
+    new_ref = jnp.where(
+        ref_invalid & has_obs,
+        jnp.clip(min_obs_kf, 0, K - 1).astype(jnp.int32),
+        state.mp_ref_kf,
+    )
+    state = state._replace(mp_ref_kf=new_ref)
+
     # --- scale-distance bounds from the reference keyframe observation ---
     ref = jnp.clip(state.mp_ref_kf, 0)
     ref_center = centers[ref]  # (P,3)
@@ -168,33 +183,30 @@ def update_point_stats(state: MapState, cfg: MapConfig) -> MapState:
 
 def cull_points(
     state: MapState,
-    recent_first_kf_lo,
-    current_kf_order,
-    kf_order,
+    probation_mask,
+    age,
     min_found_ratio: float = 0.25,
     th_obs: int = 2,
 ):
     """Recent-point culling mask (reference `LocalMapping::MapPointCulling`
-    src/LocalMapping.cc:197-235): drop points whose found/visible ratio is
-    low, or that gathered too few observations within 2 keyframes of
-    creation. Operates on points whose first_kf is recent.
+    src/LocalMapping.cc:197-235): drop probation points whose
+    found/visible ratio is low, or that gathered too few observations
+    within 2 keyframes of creation.
 
     Args:
-      recent_first_kf_lo: points with kf_order[first_kf] >= this are
-        "recent" (under probation).
-      current_kf_order: insertion order index of the newest keyframe.
-      kf_order: (K,) insertion order per keyframe slot.
+      probation_mask: (P,) bool — the engine's recent-point list (the
+        reference's mlpRecentAddedMapPoints), maintained host-side so
+        keyframe-slot recycling can't alias point ages.
+      age: (P,) int32 keyframes elapsed since each point's creation
+        (garbage outside probation_mask).
       th_obs: 2 mono / 3 stereo (reference cnThObs).
 
     Returns: (P,) bool — points to erase.
     """
     obs = observation_counts(state)
-    first_order = kf_order[jnp.clip(state.mp_first_kf, 0)]
-    recent = state.mp_valid & (first_order >= recent_first_kf_lo)
     ratio_bad = state.mp_found / jnp.maximum(state.mp_visible, 1.0) < min_found_ratio
-    age = current_kf_order - first_order
     few_obs_bad = (age >= 2) & (obs <= th_obs)
-    return recent & (ratio_bad | few_obs_bad)
+    return probation_mask & state.mp_valid & (ratio_bad | few_obs_bad)
 
 
 def keyframe_redundancy(state: MapState, kf_slot, th_scale_slack: int = 1):

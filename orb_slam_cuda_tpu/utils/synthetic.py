@@ -79,20 +79,42 @@ class PlanarScene:
         """Render grayscale uint8 (height,width) from world->cam pose Tcw.
 
         Each plane's texture->image map is the homography
-        H = K [R eu, R ev, R origin + t] diag(scale, scale, 1)."""
+        H = K [R eu, R ev, R origin + t] diag(scale, scale, 1).
+        Per-pixel ray-plane depths provide z-ordering and clip plane parts
+        behind the camera (needed for in-room scenes where side walls
+        extend past the camera)."""
         import cv2
 
         K = np.asarray(K, np.float64)
         Tcw = np.asarray(Tcw, np.float64)
         R, t = Tcw[:3, :3], Tcw[:3, 3]
         out = np.zeros((height, width), np.uint8)
-        for plane in self.planes:  # ordered far -> near
+        depth = np.full((height, width), np.inf)
+
+        # Back-projected pixel rays (camera frame).
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        Kinv = np.linalg.inv(K)
+        rays = np.stack([us, vs, np.ones_like(us)], axis=-1) @ Kinv.T  # (H,W,3)
+
+        for plane in self.planes:
+            eu_c = R @ plane.eu
+            ev_c = R @ plane.ev
+            p0_c = R @ plane.origin + t
+            n = np.cross(eu_c, ev_c)
+            nn = np.linalg.norm(n)
+            if nn < 1e-12:
+                continue
+            n = n / nn
+            denom = rays @ n  # (H,W)
+            num = n @ p0_c
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lam = num / denom  # ray-plane depth multiplier
+            lam = np.where(np.abs(denom) < 1e-9, np.inf, lam)
+
             cols = np.stack(
-                [R @ plane.eu * plane.scale, R @ plane.ev * plane.scale, R @ plane.origin + t],
-                axis=1,
+                [eu_c * plane.scale, ev_c * plane.scale, p0_c], axis=1
             )
             H = K @ cols
-            # Skip planes behind the camera (homography invalid).
             if abs(np.linalg.det(H)) < 1e-12:
                 continue
             warped = cv2.warpPerspective(
@@ -103,7 +125,9 @@ class PlanarScene:
                 np.full(plane.tex.shape, 255, np.uint8), H, (width, height),
                 flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT, borderValue=0,
             )
-            out = np.where(mask > 0, warped, out)
+            visible = (mask > 0) & (lam > 0.05) & (lam < depth)
+            out = np.where(visible, warped, out)
+            depth = np.where(visible, lam, depth)
         return out
 
     def render_stereo(self, K, Tcw, baseline: float, width: int, height: int):
@@ -115,6 +139,47 @@ class PlanarScene:
         left = self.render(K, Tcw, width, height)
         right = self.render(K, T_rl @ Tcw, width, height)
         return left, right
+
+
+def room_scene(rng, half_size: float = 8.0, tex_size: int = 1024):
+    """A square room of four textured walls (camera inside). The classic
+    loop-closure scenario: yaw around the room sees each wall in turn and
+    returns to the start view."""
+    L = half_size
+    walls = []
+    defs = [
+        # (origin, eu, ev) each wall spans 2L x 2L; y down.
+        ([-L, -L, L], [1.0, 0, 0], [0, 1.0, 0]),  # front (z=+L)
+        ([L, -L, L], [0, 0, -1.0], [0, 1.0, 0]),  # right (x=+L)
+        ([L, -L, -L], [-1.0, 0, 0], [0, 1.0, 0]),  # back (z=-L)
+        ([-L, -L, -L], [0, 0, 1.0], [0, 1.0, 0]),  # left (x=-L)
+    ]
+    for origin, eu, ev in defs:
+        tex = make_texture(tex_size, tex_size, rng)
+        walls.append(Plane(origin, eu, ev, tex, 2 * L / tex_size))
+    return PlanarScene(walls)
+
+
+def loop_trajectory(n_frames: int, radius: float = 1.5, overshoot: float = 0.15):
+    """Full in-place yaw loop: the camera walks a small circle while
+    yawing 360*(1+overshoot) degrees, revisiting its starting view with
+    accumulated-drift opportunity — the loop-closure fixture."""
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    poses = []
+    total = 2 * np.pi * (1.0 + overshoot)
+    for i in range(n_frames):
+        th = total * i / max(n_frames - 1, 1)
+        # Camera center on a circle, looking outward (yaw th about y).
+        c = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th) + radius])
+        Rwc = np.array(se3.so3_exp(jnp.asarray(np.array([0.0, th, 0.0], np.float32))))
+        Rcw = Rwc.T
+        T = np.eye(4)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
+        poses.append(T)
+    return poses
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.4, depth_amp: float = 0.15,
