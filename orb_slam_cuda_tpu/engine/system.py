@@ -22,6 +22,7 @@ from ..frontend import ExtractorConfig, ORBExtractor
 from ..geometry import se3
 from ..geometry.camera import Camera
 from ..matching import search
+from ..ops import hamming
 from ..slam_map import MapConfig, keyframe_db, ops as map_ops, state as mstate
 from ..solvers import bundle_adjust as ba
 from ..solvers import initializer as init_solver
@@ -62,6 +63,12 @@ class SystemConfig:
     # the level-0 quota is half, so the gate scales accordingly.
     init_min_matches: int = 60
     init_min_triangulated: int = 40
+    # Stereo/RGBD: close-point threshold = th_depth_factor * baseline
+    # (reference ThDepth = mbf * factor / fx, src/Tracking.cc:103-109) and
+    # the minimum feature count for stereo bootstrap (:581).
+    th_depth_factor: float = 35.0
+    stereo_init_min_features: int = 500
+    depth_map_factor: float = 1.0
     enable_loop_closing: bool = True
     loop_min_kfs: int = 10  # reference: map must have >10 KFs (LoopClosing.cc:131)
 
@@ -136,7 +143,12 @@ class System:
         if config.enable_loop_closing:
             from .loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.map_cfg, cam, self.vocab)
+            self.loop_closer = LoopCloser(
+                self.map_cfg, cam, self.vocab,
+                fix_scale=config.sensor != Sensor.MONOCULAR,
+            )
+        baseline = float(np.asarray(cam.bf)) / float(np.asarray(cam.fx)) if float(np.asarray(cam.bf)) > 0 else 0.0
+        self.th_depth = config.th_depth_factor * baseline
 
     # ------------------------------------------------------------------
     def track_monocular(self, image: np.ndarray, timestamp: float):
@@ -149,6 +161,111 @@ class System:
         pose = self._track(frame, timestamp)
         self.frame_id += 1
         return pose
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
+        """Reference System::TrackStereo -> GrabImageStereo
+        (src/System.cc:165-215, src/Tracking.cc:222-252): extract both
+        views (the reference uses two CPU threads, Frame.cc:77-78; here
+        both run through the same compiled extractor), associate stereo
+        depth, then track."""
+        assert self.cfg.sensor == Sensor.STEREO
+        from . import stereo as stereo_mod
+
+        lf = self.extractor(left)
+        rf = self.extractor(right)
+        frame = build_frame(lf, self.cam, self.vocab)
+        r_uv = rf.uv  # right keypoints stay raw (rectified pair)
+        ur, depth = stereo_mod.match_stereo(
+            frame.uv, frame.oct, frame.bip, frame.valid,
+            r_uv, rf.octave, hamming.bipolar(rf.desc), rf.valid,
+            self.cam, self.scale_factors,
+            left_img=jnp.asarray(left), right_img=jnp.asarray(right),
+        )
+        frame = frame._replace(right=ur, depth=depth)
+        if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            pose = self._depth_initialize(frame)
+            self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
+            self.frame_id += 1
+            return pose
+        pose = self._track(frame, timestamp)
+        self.frame_id += 1
+        return pose
+
+    def track_rgbd(self, image: np.ndarray, depth_map: np.ndarray, timestamp: float):
+        """Reference System::TrackRGBD -> GrabImageRGBD
+        (src/System.cc:216-256, src/Tracking.cc:254-285)."""
+        assert self.cfg.sensor == Sensor.RGBD
+        from . import stereo as stereo_mod
+
+        feats = self.extractor(image)
+        frame = build_frame(feats, self.cam, self.vocab)
+        depth = stereo_mod.depth_from_rgbd(
+            frame.uv_raw, frame.valid, jnp.asarray(depth_map), self.cam,
+            self.cfg.depth_map_factor,
+        )
+        ur = stereo_mod.virtual_right(frame.uv, depth, self.cam)
+        frame = frame._replace(right=ur, depth=depth)
+        if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            pose = self._depth_initialize(frame)
+            self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
+            self.frame_id += 1
+            return pose
+        pose = self._track(frame, timestamp)
+        self.frame_id += 1
+        return pose
+
+    def _depth_initialize(self, frame: FrameData):
+        """StereoInitialization (reference src/Tracking.cc:579-633): one
+        keyframe at the origin; every feature with depth becomes a map
+        point immediately."""
+        from ..geometry import camera as cam_mod
+
+        n_valid = int(np.asarray(jnp.sum(frame.valid)))
+        if n_valid < self.cfg.stereo_init_min_features:
+            return None
+        depth_n = np.asarray(frame.depth)
+        good = (depth_n > 0) & np.asarray(frame.valid)
+        sel = np.flatnonzero(good)
+        if len(sel) < 100:
+            return None
+        T0 = np.eye(4, dtype=np.float32)
+        slot = 0
+        pt_slots = np.arange(len(sel), dtype=np.int32)
+        mp_row = np.full(frame.capacity, -1, np.int32)
+        mp_row[sel] = pt_slots
+        st = mstate.insert_keyframe(
+            self.state, slot, jnp.asarray(T0), self.frame_id,
+            frame.uv, frame.right, frame.depth, frame.oct, frame.ang,
+            frame.desc, frame.valid, frame.word, frame.node,
+            jnp.asarray(mp_row),
+        )
+        sel_j = jnp.asarray(sel)
+        xyz = cam_mod.backproject(self.cam, frame.uv[sel_j], frame.depth[sel_j])
+        st = mstate.add_points(
+            st, jnp.asarray(pt_slots), xyz,
+            jnp.ones((len(sel),), bool), frame.desc[sel_j],
+            jnp.zeros((len(sel), 3), jnp.float32),
+            jnp.zeros((len(sel),), jnp.float32),
+            jnp.full((len(sel),), 1e9, jnp.float32),
+            jnp.full((len(sel),), slot, jnp.int32),
+            jnp.full((len(sel),), slot, jnp.int32),
+        )
+        st = map_ops.update_point_stats(st, self.map_cfg)
+        wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
+        self.db = keyframe_db.insert(self.db, slot, wu, wt)
+        self.state = st
+        self.kf_order = [slot]
+        self._next_kf_slot = 1
+        self.mapper._next_pt_slot = len(sel)
+        self.recent_pts = []
+        self.ref_kf = slot
+        self.last_pose = T0
+        self.velocity = None
+        self.last_frame = frame._replace(mp=jnp.asarray(mp_row))
+        self.tracking_state = TrackingState.OK
+        self.frames_since_kf = 0
+        self.stats.n_keyframes = 1
+        return T0
 
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData, timestamp: float):
@@ -436,6 +553,8 @@ class System:
             frame.uv, frame.right, frame.depth, frame.oct, frame.ang,
             frame.desc, frame.valid, frame.word, frame.node, frame.mp,
         )
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            self._create_depth_points(slot)
         wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
         self.db = keyframe_db.insert(self.db, slot, wu, wt)
         self.kf_order.append(slot)
@@ -454,6 +573,47 @@ class System:
             self.state, self.db = self.loop_closer.process(
                 self.state, self.db, slot, self.kf_order
             )
+
+    def _create_depth_points(self, slot: int):
+        """Stereo/RGBD keyframes spawn points for unbound close features
+        (reference CreateNewKeyFrame depth branch, src/Tracking.cc:
+        1170-1220: sorted by depth, all below ThDepth or the closest 100)."""
+        from ..geometry import camera as cam_mod
+
+        st = self.state
+        depth_n = np.asarray(st.kf_depth[slot])
+        mp_n = np.asarray(st.kf_mp[slot])
+        valid_n = np.asarray(st.kf_feat_valid[slot])
+        cand = (depth_n > 0) & (mp_n < 0) & valid_n
+        close = cand & (depth_n < self.th_depth)
+        sel = np.flatnonzero(close)
+        if len(sel) < 100:
+            extra = np.flatnonzero(cand & ~close)
+            extra = extra[np.argsort(depth_n[extra])][: max(0, 100 - len(sel))]
+            sel = np.concatenate([sel, extra]).astype(np.int64)
+        if len(sel) == 0:
+            return
+        slots = self.mapper.free_point_slots(st, len(sel))
+        sel_j = jnp.asarray(sel)
+        slots_j = jnp.asarray(slots, jnp.int32)
+        Twc = jnp.asarray(np.linalg.inv(np.asarray(st.kf_pose[slot])))
+        Xc = cam_mod.backproject(self.cam, st.kf_uv[slot][sel_j], st.kf_depth[slot][sel_j])
+        xyz = se3.transform(Twc, Xc)
+        st = mstate.add_points(
+            st, slots_j, xyz, jnp.ones((len(sel),), bool),
+            st.kf_desc[slot][sel_j],
+            jnp.zeros((len(sel), 3), jnp.float32),
+            jnp.zeros((len(sel),), jnp.float32),
+            jnp.full((len(sel),), 1e9, jnp.float32),
+            jnp.full((len(sel),), slot, jnp.int32),
+            jnp.full((len(sel),), slot, jnp.int32),
+        )
+        st = mstate.bind_observations(
+            st, slot, sel_j, slots_j, jnp.ones((len(sel),), bool)
+        )
+        self.state = st
+        born = len(self.kf_order) + 1
+        self.recent_pts.extend((int(p), born) for p in slots)
 
     # ------------------------------------------------------------------
     def get_trajectory(self):
