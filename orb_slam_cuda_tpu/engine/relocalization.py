@@ -2,12 +2,10 @@
 
 Replaces `Tracking::Relocalization` (reference: src/Tracking.cc:1427-1600):
 candidates from the keyframe database, SearchByBoW per candidate, then
-pose estimation against the candidate's map points. The reference runs
-EPnP+RANSAC (src/PnPsolver.cc) before pose optimization; here the
-candidate keyframe's pose seeds a robust pose-only LM directly (the LM's
-Huber + outlier reclassification covers the RANSAC role for the
-close-to-keyframe relocalizations that dominate; solvers/pnp.py provides
-the full EPnP RANSAC used when no seed survives).
+pose estimation against the candidate's map points. Candidates are tried
+with the reference's own flow: SearchByBoW against the candidate's map
+points, EPnP RANSAC (solvers/pnp.py) for the pose hypothesis, then a
+projection-widened robust refinement (src/Tracking.cc:1473-1600).
 """
 
 from __future__ import annotations
@@ -47,13 +45,50 @@ def relocalize(
     order = np.argsort(-scores_n)
     cands = [int(k) for k in order if cand_mask[k]][:max_candidates]
 
+    import jax
+
+    from ..solvers import pnp as pnp_solver
+
+    sig2 = jnp.asarray(
+        [1.2 ** (2 * i) for i in range(8)], jnp.float32
+    )
+
     for kf in cands:
-        pose, mp, n_matches, n_inl = tracking.track_reference_kf(
-            state, frame, state.kf_pose[kf], kf, cam
+        # BoW matching against the candidate's bound map points
+        # (reference :1480-1490), then EPnP RANSAC on the 3D-2D set.
+        kf_bip = hamming.bipolar(state.kf_desc[kf])
+        kf_mp = state.kf_mp[kf]
+        kf_has = (kf_mp >= 0) & state.mp_valid[jnp.clip(kf_mp, 0)]
+        m = search.by_bow(
+            state.kf_node[kf], kf_bip, state.kf_feat_valid[kf],
+            state.kf_ang[kf],
+            frame.node, frame.bip, frame.valid, frame.ang,
+            ratio=0.75, check_rotation=True, f1_has_point=kf_has,
         )
-        if int(n_matches) < MIN_BOW_MATCHES:
+        n_matches = int(np.asarray((m.idx >= 0).sum()))
+        if n_matches < MIN_BOW_MATCHES:
             continue
-        if int(n_inl) >= MIN_INLIERS_ACCEPT:
+        ok_pair = m.idx >= 0
+        Xw = state.mp_xyz[jnp.clip(kf_mp, 0)]
+        uv = frame.uv[jnp.clip(m.idx, 0)]
+        oct_f = frame.oct[jnp.clip(m.idx, 0)]
+        err_th2 = 5.991 * sig2[jnp.clip(oct_f, 0, 7)]
+        res = pnp_solver.solve_pnp_ransac(
+            Xw, uv, ok_pair & kf_has, err_th2, cam,
+            jax.random.PRNGKey(kf),
+        )
+        if not bool(res.ok):
+            continue
+        # Bind inlier matches into the frame.
+        n = frame.capacity
+        mp = jnp.full((n,), -1, jnp.int32)
+        keep = res.inliers & ok_pair
+        mp = mp.at[jnp.clip(m.idx, 0)].set(
+            jnp.where(keep, kf_mp, mp[jnp.clip(m.idx, 0)])
+        )
+        pose = res.pose
+        n_inl = res.n_inliers
+        if True:
             # Widen with a projection search from the recovered pose and
             # refine once more (reference does SearchByProjection with
             # th=10 after the first optimization, src/Tracking.cc:1520).
