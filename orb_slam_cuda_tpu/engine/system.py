@@ -138,6 +138,8 @@ class System:
         self.frame_id: int = 0
         self.frames_since_kf: int = 0
         self.trajectory: List[tuple] = []  # (timestamp, Tcw 4x4 np, ok)
+        self.kf_timestamps = {}
+        self.localization_only = False
         self.stats = TrackStats()
         self.loop_closer = None
         if config.enable_loop_closing:
@@ -305,12 +307,17 @@ class System:
             # bindings (set inside _track_local_map); do not overwrite it
             # with the binding-less input frame.
             self.frames_since_kf += 1
-            if self._need_new_keyframe(frame):
+            if not self.localization_only and self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
+                self.kf_timestamps[self.ref_kf] = timestamp
         else:
             self.tracking_state = TrackingState.LOST
             self.stats.n_lost += 1
             self.velocity = None
+            # Lost right after initialization -> full reset (reference
+            # src/Tracking.cc:379-382,537-544: <=5 KFs -> System::Reset).
+            if 0 < len(self.kf_order) <= 5 and not self.localization_only:
+                self.reset()
 
         self.trajectory.append(
             (timestamp, pose.copy() if ok else None, bool(ok))
@@ -623,3 +630,58 @@ class System:
 
     def tracked_ratio(self):
         return self.stats.n_tracked / max(self.stats.n_frames, 1)
+
+    # ------------------------------------------------------------------
+    def set_localization_mode(self, enabled: bool):
+        """Localization-only switching (reference
+        ActivateLocalizationMode/DeactivateLocalizationMode,
+        include/System.h:83-85 + src/System.cc:265-297): tracking and
+        relocalization continue, mapping and loop closing stop."""
+        self.localization_only = enabled
+
+    def reset(self):
+        """Full system reset (reference System::Reset -> Tracking::Reset,
+        src/Tracking.cc:1602-1638: clear map, database, state machine)."""
+        self.state = mstate.empty(self.map_cfg)
+        self.db = keyframe_db.empty(self.cfg.max_keyframes, self.cfg.n_features)
+        self.tracking_state = TrackingState.NO_IMAGES_YET
+        self.velocity = None
+        self.last_pose = None
+        self.last_frame = None
+        self.init_frame = None
+        self.ref_kf = 0
+        self.kf_order = []
+        self.recent_pts = []
+        self._next_kf_slot = 0
+        self.mapper._next_pt_slot = 0
+        self.frames_since_kf = 0
+        if self.loop_closer is not None:
+            self.loop_closer.consistent_groups = []
+            self.loop_closer.last_loop_kf_order = 0
+
+    def save_trajectory_tum(self, path: str):
+        from ..io import trajectory as traj_io
+
+        traj_io.save_trajectory_tum(self.trajectory, path)
+
+    def save_trajectory_kitti(self, path: str):
+        from ..io import trajectory as traj_io
+
+        traj_io.save_trajectory_kitti(self.trajectory, path)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        from ..io import trajectory as traj_io
+
+        traj_io.save_keyframe_trajectory_tum(
+            self.state, self.kf_order, self.kf_timestamps, path
+        )
+
+    def save_map(self, path: str):
+        from ..io import checkpoint
+
+        checkpoint.save_system(self, path)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        from ..io import checkpoint
+
+        checkpoint.load_into_system(self, path, localization_only)

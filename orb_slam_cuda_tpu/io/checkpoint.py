@@ -1,0 +1,90 @@
+"""Map checkpoint / resume.
+
+Replaces the fork's YAML map persistence (reference: `Map::saveMap`
+src/Map.cc:133-181, `KeyFrame::write` src/KeyFrame.cc:674-860,
+`MapPoint::write` src/MapPoint.cc:424-491, `KeyFrameDatabase::write`
+src/KeyFrameDatabase.cc:58-75, and the two-pass id->pointer fixup on load
+src/Map.cc:183-270). Because the map here is already a flat array PyTree,
+the entire save/load is one npz round-trip — no pointer fixup exists to
+do (`updateLinks` is vacuously true), and the BoW database rows are part
+of the same file.
+
+On startup, the reference auto-loads `map.yml` and enters
+localization-only mode (src/System.cc:82-99); `System`'s counterpart is
+`load_into_system` + `set_localization_mode(True)`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..slam_map import keyframe_db as kdb
+from ..slam_map.state import MapState
+
+FORMAT_VERSION = 1
+
+
+def save_map(state: MapState, db, kf_order, path: str, extra: dict = None):
+    """Serialize map PyTree + BoW rows + keyframe order to one .npz."""
+    arrays = {f"map_{k}": np.asarray(v) for k, v in state._asdict().items()}
+    arrays.update({f"db_{k}": np.asarray(v) for k, v in db._asdict().items()})
+    arrays["kf_order"] = np.asarray(kf_order, np.int64)
+    arrays["format_version"] = np.asarray(FORMAT_VERSION)
+    for k, v in (extra or {}).items():
+        arrays[f"extra_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_map(path: str):
+    """-> (MapState, BowDB, kf_order list, extras dict)."""
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    ver = int(data["format_version"])
+    if ver != FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {ver} != {FORMAT_VERSION}")
+    map_kwargs = {
+        k[len("map_"):]: jnp.asarray(data[k])
+        for k in data.files
+        if k.startswith("map_")
+    }
+    db_kwargs = {
+        k[len("db_"):]: jnp.asarray(data[k])
+        for k in data.files
+        if k.startswith("db_")
+    }
+    extras = {
+        k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")
+    }
+    state = MapState(**map_kwargs)
+    db = kdb.BowDB(**db_kwargs)
+    kf_order = [int(x) for x in data["kf_order"]]
+    return state, db, kf_order, extras
+
+
+def save_system(system, path: str):
+    """Save a live System's map (reference System dtor save calls,
+    src/System.cc:139-146 — commented out there, first-class here)."""
+    save_map(
+        system.state, system.db, system.kf_order, path,
+        extra={"frame_id": system.frame_id},
+    )
+
+
+def load_into_system(system, path: str, localization_only: bool = True):
+    """Load a checkpoint into a System and (by default) enter
+    localization-only mode, mirroring the reference startup auto-load
+    (src/System.cc:82-99: state LOST -> relocalize against the map)."""
+    state, db, kf_order, extras = load_map(path)
+    system.state = state
+    system.db = db
+    system.kf_order = kf_order
+    system.frame_id = int(extras.get("frame_id", 0)) + 1
+    from .. import engine
+
+    system.tracking_state = engine.system.TrackingState.LOST
+    system.last_pose = None
+    system.velocity = None
+    if localization_only:
+        system.set_localization_mode(True)
+    return system

@@ -40,12 +40,13 @@ def scene_and_cam():
 
 
 def make_system(cam, **kw):
-    cfg = SystemConfig(
+    params = dict(
         camera=cam, sensor=Sensor.MONOCULAR, n_features=600,
         max_keyframes=64, max_points=8192, enable_loop_closing=False,
-        max_frames_between_kf=10, **kw,
+        max_frames_between_kf=10,
     )
-    return System(cfg)
+    params.update(kw)
+    return System(SystemConfig(**params))
 
 
 class TestMonocularEndToEnd:
@@ -84,20 +85,25 @@ class TestMonocularEndToEnd:
         assert slam.stats.n_keyframes == 0  # no parallax -> no map
 
     def test_relocalizes_after_blackout(self, scene_and_cam):
+        # Blackout placed late enough that the map has >5 keyframes —
+        # losing earlier triggers the reference's small-map full reset
+        # (src/Tracking.cc:537-544), which is separate behavior.
         scene, cam = scene_and_cam
-        poses = synthetic.orbit_trajectory(36, radius=0.6)
-        slam = make_system(cam)
+        poses = synthetic.orbit_trajectory(44, radius=0.6)
+        # Denser keyframes so the map exceeds the 5-KF reset floor by the
+        # time the blackout hits.
+        slam = make_system(cam, max_frames_between_kf=4)
         K = np.asarray(cam.K)
         blank = np.zeros((H, W), np.uint8)
         tracked_after = 0
         for i, T in enumerate(poses):
-            if 20 <= i < 23:
+            if 30 <= i < 33:
                 img = blank  # occlusion: tracking must drop to LOST
             else:
                 img = scene.render(K, T, W, H)
             pose = slam.track_monocular(img, i * 0.1)
-            if i >= 23 and pose is not None:
+            if i >= 33 and pose is not None:
                 tracked_after += 1
         assert slam.stats.n_lost >= 2
-        assert tracked_after >= 8, "failed to relocalize after blackout"
+        assert tracked_after >= 7, "failed to relocalize after blackout"
         assert slam.stats.n_reloc >= 1

@@ -1,0 +1,153 @@
+"""IO tests: OpenCV-YAML settings, trajectory formats, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam_cuda_tpu.engine import Sensor, System, SystemConfig
+from orb_slam_cuda_tpu.geometry.camera import Camera
+from orb_slam_cuda_tpu.io import (
+    config as config_io,
+    checkpoint,
+    trajectory as traj_io,
+)
+from orb_slam_cuda_tpu.utils import synthetic
+
+TUM1_YAML = """%YAML:1.0
+
+# Camera Parameters (TUM fr1 calibration, same schema as the reference's
+# Examples/Monocular/TUM1.yaml)
+Camera.fx: 517.306408
+Camera.fy: 516.469215
+Camera.cx: 318.643040
+Camera.cy: 255.313989
+
+Camera.k1: 0.262383
+Camera.k2: -0.953104
+Camera.p1: -0.005358
+Camera.p2: 0.002628
+Camera.k3: 1.163314
+
+Camera.width: 640
+Camera.height: 480
+
+Camera.fps: 30.0
+Camera.RGB: 1
+
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+class TestSettings:
+    def test_load_tum_yaml(self, tmp_path):
+        p = tmp_path / "TUM1.yaml"
+        p.write_text(TUM1_YAML)
+        cfg = config_io.load_settings(str(p))
+        assert float(np.asarray(cfg.camera.fx)) == pytest.approx(517.306408)
+        assert cfg.camera.width == 640 and cfg.camera.height == 480
+        assert cfg.n_features == 1000
+        assert cfg.n_levels == 8
+        assert cfg.max_frames_between_kf == 30
+
+    def test_missing_width_raises(self, tmp_path):
+        p = tmp_path / "bad.yaml"
+        p.write_text("%YAML:1.0\nCamera.fx: 500.0\nCamera.fy: 500.0\nCamera.cx: 320.0\nCamera.cy: 240.0\n")
+        with pytest.raises(config_io.SettingsError):
+            config_io.load_settings(str(p))
+
+
+class TestTrajectoryIO:
+    def make_traj(self, rng, n=10):
+        import jax.numpy as jnp
+
+        from orb_slam_cuda_tpu.geometry import se3
+
+        traj = []
+        for i in range(n):
+            xi = rng.normal(0, 0.2, 6).astype(np.float32)
+            T = np.asarray(se3.exp(jnp.asarray(xi)), np.float64)
+            traj.append((i * 0.1, T, True))
+        traj.append((n * 0.1, None, False))  # untracked frame skipped
+        return traj
+
+    def test_tum_roundtrip(self, rng, tmp_path):
+        traj = self.make_traj(rng)
+        p = str(tmp_path / "traj.txt")
+        traj_io.save_trajectory_tum(traj, p)
+        loaded = traj_io.load_trajectory_tum(p)
+        assert len(loaded) == 10
+        for (t0, T0, ok), (t1, T1) in zip(traj, loaded):
+            assert abs(t0 - t1) < 1e-6
+            np.testing.assert_allclose(T1, T0, atol=1e-5)
+
+    def test_kitti_format(self, rng, tmp_path):
+        traj = self.make_traj(rng, 5)
+        p = str(tmp_path / "kitti.txt")
+        traj_io.save_trajectory_kitti(traj, p)
+        rows = open(p).read().strip().splitlines()
+        assert len(rows) == 5
+        vals = [float(x) for x in rows[0].split()]
+        assert len(vals) == 12
+        Twc = np.linalg.inv(traj[0][1])
+        np.testing.assert_allclose(np.asarray(vals).reshape(3, 4), Twc[:3, :4], rtol=1e-6)
+
+
+class TestCheckpoint:
+    def run_slam(self, rng, n_frames=25):
+        W, H = 320, 240
+        cam = Camera.create(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, width=W, height=H)
+        scene = synthetic.PlanarScene.default(rng, tex_size=768)
+        poses = synthetic.orbit_trajectory(n_frames, radius=0.6)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.MONOCULAR, n_features=600,
+            max_keyframes=64, max_points=8192, enable_loop_closing=False,
+            max_frames_between_kf=8,
+        )
+        slam = System(cfg)
+        K = np.asarray(cam.K)
+        for i, T in enumerate(poses):
+            slam.track_monocular(scene.render(K, T, W, H), i * 0.1)
+        return slam, scene, poses, cam
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        slam, scene, poses, cam = self.run_slam(rng)
+        assert slam.stats.n_keyframes >= 2
+        p = str(tmp_path / "map.npz")
+        slam.save_map(p)
+        state, db, kf_order, extras = checkpoint.load_map(p)
+        np.testing.assert_array_equal(
+            np.asarray(state.kf_pose), np.asarray(slam.state.kf_pose)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.mp_xyz), np.asarray(slam.state.mp_xyz)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(db.word), np.asarray(slam.db.word)
+        )
+        assert kf_order == slam.kf_order
+
+    def test_resume_localization_mode(self, rng, tmp_path):
+        """The reference's map.yml startup flow (src/System.cc:82-99):
+        load a saved map, enter localization-only mode, relocalize."""
+        slam, scene, poses, cam = self.run_slam(rng)
+        p = str(tmp_path / "map.npz")
+        slam.save_map(p)
+        n_kfs_saved = slam.stats.n_keyframes
+
+        cfg = slam.cfg
+        slam2 = System(cfg)
+        slam2.load_map(p, localization_only=True)
+        K = np.asarray(cam.K)
+        tracked = 0
+        for i, T in enumerate(poses[5:20]):
+            pose = slam2.track_monocular(scene.render(K, T, 320, 240), 100.0 + i * 0.1)
+            if pose is not None:
+                tracked += 1
+        assert tracked >= 10, "failed to localize against the loaded map"
+        # Localization mode must not grow the map.
+        assert len(slam2.kf_order) == len(slam.kf_order)
