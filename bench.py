@@ -1,0 +1,102 @@
+"""Benchmark: end-to-end monocular tracking throughput on one chip.
+
+Runs the full SLAM pipeline (ORB extraction -> matching -> pose LM ->
+local mapping/BA at keyframes) on synthetic KITTI-resolution frames and
+reports steady-state frames/s. This is the reference's headline metric
+(median/mean tracking time printed by Examples/Monocular/
+mono_kitti.cc:140-148 and 'Avg computed frame ORB' ORBextractor.cc:802).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the
+comparison constant below is the ~25 fps class of published ORB-SLAM2
+Jetson-TX2 evaluations — the value BASELINE.md says must stand in until
+the reference is re-measured on hardware.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 25.0  # assumed reference TX2 tracking fps (see docstring)
+WIDTH, HEIGHT = 1241, 376  # KITTI odometry camera
+N_FEATURES = 2000  # reference KITTI settings (KITTI00-02.yaml)
+WARMUP_FRAMES = 12
+MEASURE_FRAMES = 60
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    log("devices:", jax.devices())
+
+    from orb_slam_cuda_tpu.engine import Sensor, System, SystemConfig
+    from orb_slam_cuda_tpu.geometry.camera import Camera
+    from orb_slam_cuda_tpu.utils import synthetic
+
+    rng = np.random.default_rng(42)
+    cam = Camera.create(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+        width=WIDTH, height=HEIGHT,
+    )
+    scene = synthetic.PlanarScene.default(
+        rng, depth=12.0, second_depth=25.0, extent=40.0, tex_size=2048
+    )
+    poses = synthetic.orbit_trajectory(
+        WARMUP_FRAMES + MEASURE_FRAMES, radius=1.5, depth_amp=0.3
+    )
+    K = np.asarray(cam.K)
+    log("rendering frames...")
+    frames = [scene.render(K, T, WIDTH, HEIGHT) for T in poses]
+
+    cfg = SystemConfig(
+        camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
+        max_keyframes=128, max_points=16384, enable_loop_closing=True,
+        max_frames_between_kf=15,
+    )
+    slam = System(cfg)
+
+    log("warmup (compiles)...")
+    t0 = time.time()
+    for i in range(WARMUP_FRAMES):
+        slam.track_monocular(frames[i], i * 0.1)
+    log(f"warmup done in {time.time() - t0:.1f}s; state={slam.tracking_state.name}")
+
+    log("measuring...")
+    t0 = time.time()
+    for i in range(WARMUP_FRAMES, WARMUP_FRAMES + MEASURE_FRAMES):
+        slam.track_monocular(frames[i], i * 0.1)
+    elapsed = time.time() - t0
+    fps = MEASURE_FRAMES / elapsed
+
+    log(
+        f"measured {MEASURE_FRAMES} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
+        f"tracked_ratio={slam.tracked_ratio():.2f} kfs={slam.stats.n_keyframes}"
+    )
+    for csv in ("times.csv", "timesTracking.csv", "timesMapping.csv"):
+        summ = slam.timer.summary(csv)
+        if summ:
+            log(csv, {k: round(v, 2) for k, v in summ.items()}, "ms mean")
+
+    print(
+        json.dumps(
+            {
+                "metric": "mono_tracking_frames_per_second_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

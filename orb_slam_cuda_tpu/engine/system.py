@@ -141,6 +141,9 @@ class System:
         self.kf_timestamps = {}
         self.localization_only = False
         self.stats = TrackStats()
+        from ..utils.timing import StageTimer
+
+        self.timer = StageTimer(enabled=True)
         self.loop_closer = None
         if config.enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -158,9 +161,12 @@ class System:
         (src/System.cc:257-307, src/Tracking.cc:287-323). Returns 4x4 Tcw
         (np.ndarray) or None while uninitialized/lost."""
         assert self.cfg.sensor == Sensor.MONOCULAR
-        feats = self.extractor(image)
-        frame = build_frame(feats, self.cam, self.vocab)
-        pose = self._track(frame, timestamp)
+        self.timer.set_frame(self.frame_id)
+        with self.timer.stage("times.csv", "orb_extract"):
+            feats = self.extractor(image)
+            frame = build_frame(feats, self.cam, self.vocab)
+        with self.timer.stage("timesTracking.csv", "track", sync=None):
+            pose = self._track(frame, timestamp)
         self.frame_id += 1
         return pose
 
@@ -569,17 +575,19 @@ class System:
         self.frames_since_kf = 0
         self.stats.n_keyframes += 1
 
-        self.state, self.db = self.mapper.process_keyframe(
-            self.state, self.db, slot, self.recent_pts, self.kf_order
-        )
+        with self.timer.stage("timesMapping.csv", "local_mapping"):
+            self.state, self.db = self.mapper.process_keyframe(
+                self.state, self.db, slot, self.recent_pts, self.kf_order
+            )
         # Keyframe culling may have invalidated the ref.
         if not bool(np.asarray(self.state.kf_valid[self.ref_kf])):
             self.ref_kf = self.kf_order[-1]
 
         if self.loop_closer is not None and len(self.kf_order) > 3:
-            self.state, self.db = self.loop_closer.process(
-                self.state, self.db, slot, self.kf_order
-            )
+            with self.timer.stage("timesMapping.csv", "loop_closing"):
+                self.state, self.db = self.loop_closer.process(
+                    self.state, self.db, slot, self.kf_order
+                )
 
     def _create_depth_points(self, slot: int):
         """Stereo/RGBD keyframes spawn points for unbound close features

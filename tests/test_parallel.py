@@ -1,0 +1,60 @@
+"""Distributed BA tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam_cuda_tpu.parallel import distributed_bundle_adjust, make_mesh
+from orb_slam_cuda_tpu.solvers import bundle_adjust as ba
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_bundle_adjust import build_problem, pose_errors  # noqa: E402
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, rng):
+        problem, poses_true, X, cam = build_problem(rng, n_cams=5, n_pts=80, bf=50.0)
+        single = ba.bundle_adjust(problem, cam, lm_iters=8, cg_iters=15)
+        mesh = make_mesh(8)
+        dist = distributed_bundle_adjust(problem, cam, mesh, lm_iters=8, cg_iters=15)
+        np.testing.assert_allclose(
+            np.asarray(dist.cam_pose), np.asarray(single.cam_pose), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.xyz), np.asarray(single.xyz), atol=2e-3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dist.obs_inlier), np.asarray(single.obs_inlier)
+        )
+
+    def test_converges_on_mesh(self, rng):
+        problem, poses_true, X, cam = build_problem(rng, bf=50.0)
+        mesh = make_mesh(8)
+        res = distributed_bundle_adjust(problem, cam, mesh, lm_iters=12, cg_iters=25)
+        errs = pose_errors(res, poses_true)
+        assert errs.max() < 0.03
+
+    def test_uneven_edges_padded(self, rng):
+        # 6*120=720 obs not divisible by 8 after dropping some.
+        problem, poses_true, X, cam = build_problem(rng, n_cams=5, n_pts=77, bf=50.0)
+        assert problem.obs_cam.shape[0] % 8 != 0
+        mesh = make_mesh(8)
+        res = distributed_bundle_adjust(problem, cam, mesh, lm_iters=6, cg_iters=15)
+        assert res.obs_inlier.shape[0] == problem.obs_cam.shape[0]
+        errs = pose_errors(res, poses_true)
+        assert errs.max() < 0.05
+
+    def test_mesh_shards_observations(self, rng):
+        from orb_slam_cuda_tpu.parallel.dist_ba import shard_problem
+
+        problem, _, _, cam = build_problem(rng, n_cams=4, n_pts=64, bf=50.0)
+        mesh = make_mesh(8)
+        sharded = shard_problem(problem, mesh)
+        # Observation arrays sharded over 8 devices; state replicated.
+        assert len(sharded.obs_uv.sharding.device_set) == 8
+        assert not sharded.obs_uv.sharding.is_fully_replicated
+        assert sharded.cam_pose.sharding.is_fully_replicated
