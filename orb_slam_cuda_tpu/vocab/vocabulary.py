@@ -189,10 +189,22 @@ def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
     then one line per node: `parent_offset is_leaf d0..d31 weight`, nodes in
     BFS order). Reference load: TemplatedVocabulary.h:241 loadFromTextFile.
 
-    Note: this parses ~1M lines; the native C++ loader in native/ is the
-    fast path (the reference's text parse dominates its startup, SURVEY.md
-    §3.1).
+    Uses the native C++ scanner (native/vocab_loader.cpp via
+    vocab/native_loader.py) when built — the text parse of the stock
+    vocabulary dominates the reference's startup (SURVEY.md §3.1) — and
+    falls back to the pure-Python loop otherwise.
     """
+    from . import native_loader
+
+    if native_loader.available():
+        k, depth, parents, is_leaf, desc_bytes, weights = (
+            native_loader.parse_orbvoc_text(path)
+        )
+        return _assemble_from_flat(
+            parents, is_leaf, desc_bytes.astype(np.uint8), weights,
+            int(k), int(depth), levelsup,
+        )
+
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
