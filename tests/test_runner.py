@@ -1,0 +1,69 @@
+"""CLI runner smoke test on a generated mini-KITTI-format dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam_cuda_tpu.utils import synthetic
+
+SETTINGS = """%YAML:1.0
+Camera.fx: 260.0
+Camera.fy: 260.0
+Camera.cx: 160.0
+Camera.cy: 120.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 320
+Camera.height: 240
+Camera.fps: 10.0
+ORBextractor.nFeatures: 600
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+@pytest.fixture
+def mini_kitti(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(3)
+    scene = synthetic.PlanarScene.default(rng, tex_size=768)
+    poses = synthetic.orbit_trajectory(16, radius=0.6)
+    K = np.array([[260.0, 0, 160], [0, 260.0, 120], [0, 0, 1]])
+    seq = tmp_path / "seq"
+    (seq / "image_0").mkdir(parents=True)
+    with open(seq / "times.txt", "w") as f:
+        for i, T in enumerate(poses):
+            img = scene.render(K, T, 320, 240)
+            cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), img)
+            f.write(f"{i*0.1:.6f}\n")
+    settings = tmp_path / "settings.yaml"
+    settings.write_text(SETTINGS)
+    return str(seq), str(settings), tmp_path
+
+
+def test_mono_kitti_runner(mini_kitti):
+    from orb_slam_cuda_tpu.run import main
+
+    seq, settings, tmp = mini_kitti
+    traj = str(tmp / "traj_tum.txt")
+    kitti_out = str(tmp / "traj_kitti.txt")
+    map_out = str(tmp / "map.npz")
+    rc = main([
+        "--dataset", "kitti", "--sensor", "mono",
+        "--sequence", seq, "--settings", settings,
+        "--save-tum", traj, "--save-kitti", kitti_out,
+        "--save-map", map_out,
+        "--timing-dir", str(tmp),
+    ])
+    assert rc == 0
+    assert os.path.exists(traj)
+    rows = open(traj).read().strip().splitlines()
+    assert len(rows) >= 8  # most frames tracked after init
+    assert os.path.exists(map_out)
+    assert os.path.exists(str(tmp / "times.csv"))
+    assert os.path.exists(str(tmp / "timesTracking.csv"))
