@@ -121,6 +121,21 @@ class System:
             vocab = build_vocabulary(train, k=k, depth=depth, levelsup=max(1, depth - 2))
         self.vocab = vocab
 
+        # Fused extraction + frame build (undistort + BoW + bipolar) as a
+        # single jitted closure: one device dispatch per frame, no eager
+        # ops (each eager op is a separate dispatch on-device).
+        import jax as _jax
+
+        _cam = cam
+        _vocab = self.vocab
+        _extract_impl = self.extractor._extract_impl
+
+        def _frame_fn(image):
+            feats = _extract_impl(image)
+            return build_frame(feats, _cam, _vocab)
+
+        self._frame_fn = _jax.jit(_frame_fn)
+
         self.state = mstate.empty(self.map_cfg)
         self.db = keyframe_db.empty(config.max_keyframes, config.n_features)
         self.mapper = local_mapping.LocalMapper(self.map_cfg, cam)
@@ -163,8 +178,7 @@ class System:
         assert self.cfg.sensor == Sensor.MONOCULAR
         self.timer.set_frame(self.frame_id)
         with self.timer.stage("times.csv", "orb_extract"):
-            feats = self.extractor(image)
-            frame = build_frame(feats, self.cam, self.vocab)
+            frame = self._frame_fn(jnp.asarray(image))
         with self.timer.stage("timesTracking.csv", "track", sync=None):
             pose = self._track(frame, timestamp)
         self.frame_id += 1
@@ -292,14 +306,46 @@ class System:
         ok = False
         pose = None
         if self.tracking_state == TrackingState.OK:
-            pose, ok = self._track_from_last(frame)
+            # Fused one-dispatch tracking step (motion model + ref-KF
+            # fallback + local map + stats); the host pulls one scalar
+            # vector and the 4x4 pose.
+            lf = self.last_frame
+            if self.velocity is not None:
+                pose_pred = self.velocity @ self.last_pose
+            else:
+                pose_pred = self.last_pose
+            radius = (
+                tracking.MOTION_MODEL_RADIUS_STEREO
+                if self.cfg.sensor == Sensor.STEREO
+                else tracking.MOTION_MODEL_RADIUS
+            )
+            min_obs = 3 if len(self.kf_order) > 2 else 2
+            res = tracking.full_track_step(
+                self.state, frame,
+                jnp.asarray(pose_pred.astype(np.float32)),
+                jnp.asarray(self.last_pose.astype(np.float32)),
+                lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
+                jnp.int32(self.ref_kf), jnp.int32(min_obs),
+                self.cam, self.scale_factors, radius,
+            )
+            scal = np.asarray(res.scalars)
+            ok = bool(scal[0])
+            self.state = self.state._replace(
+                mp_visible=res.mp_visible, mp_found=res.mp_found
+            )
+            self.ref_kf = int(scal[2])
+            self.n_inliers_local = int(scal[1])
+            self.ref_tracked = int(scal[3])
+            if ok:
+                pose = np.asarray(res.pose)
+                self.last_frame = frame._replace(mp=res.mp)
         if self.tracking_state == TrackingState.LOST or not ok:
             pose, ok = self._relocalize(frame)
             if ok:
                 self.stats.n_reloc += 1
-
-        if ok:
-            pose, ok = self._track_local_map(frame, pose)
+                pose2, ok = self._track_local_map(frame, pose)
+                if ok:
+                    pose = pose2
 
         if ok:
             self.tracking_state = TrackingState.OK
@@ -534,11 +580,12 @@ class System:
         the last KF or tracking weakening vs the reference keyframe."""
         if len(self.kf_order) == 0:
             return False
-        n_kfs = len(self.kf_order)
-        min_obs = 3 if n_kfs > 2 else 2
-        ref_tracked = int(
-            tracking.count_ref_tracked(self.state, self.ref_kf, min_obs)
-        )
+        ref_tracked = getattr(self, "ref_tracked", None)
+        if ref_tracked is None:
+            min_obs = 3 if len(self.kf_order) > 2 else 2
+            ref_tracked = int(
+                tracking.count_ref_tracked(self.state, self.ref_kf, min_obs)
+            )
         inliers = self.n_inliers_local
         c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
         c1b = self.frames_since_kf >= self.cfg.min_frames_between_kf

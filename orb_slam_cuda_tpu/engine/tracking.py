@@ -237,6 +237,100 @@ def track_local_map(
     return pose2, mp_out, n_inl, n_visible, visible
 
 
+class FullStepResult(NamedTuple):
+    """Output of the fused per-frame step. `scalars` is the ONE array the
+    host pulls: [track_ok, n_inliers_local, ref_kf, ref_tracked,
+    n_matches_mm, n_inl_mm, used_fallback]."""
+
+    pose: jnp.ndarray
+    mp: jnp.ndarray
+    mp_visible: jnp.ndarray
+    mp_found: jnp.ndarray
+    scalars: jnp.ndarray
+
+
+@jax.jit
+def full_track_step(
+    state: MapState,
+    frame: FrameData,
+    pose_pred,
+    pose_last,
+    last_uv, last_oct, last_ang, last_bip, last_mp,
+    ref_kf,
+    min_obs,
+    cam: Camera,
+    scale_factors,
+    radius_mm,
+):
+    """The entire per-frame tracking pipeline as ONE device dispatch.
+
+    Fuses motion-model tracking, the reference-keyframe fallback
+    (lax.cond — only the needed branch runs), local-map assembly +
+    tracking, visibility statistics and the NeedNewKeyFrame counters.
+    The reference spreads this over Tracking::Track's sequential calls
+    (src/Tracking.cc:325-578) with cheap function boundaries; on an
+    accelerator every boundary is a host-device round trip, so the whole
+    state machine body compiles into a single XLA program and the host
+    reads back one small scalar vector per frame.
+    """
+    # --- 1. motion model ---
+    pose1, mp1, n_m1, n_i1 = track_motion_model.__wrapped__(
+        state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
+        last_mp, cam, scale_factors, radius_mm,
+    )
+    ok1 = (n_m1 >= MIN_MATCHES_MOTION) & (n_i1 >= MIN_INLIERS_TRACK)
+
+    # --- 2. fallback: reference keyframe (only runs if needed) ---
+    def keep(_):
+        return pose1, mp1, n_m1, n_i1
+
+    def fallback(_):
+        return track_reference_kf.__wrapped__(
+            state, frame, pose_last, ref_kf, cam
+        )
+
+    pose2, mp2, n_m2, n_i2 = jax.lax.cond(ok1, keep, fallback, None)
+    ok2 = ok1 | ((n_m2 >= MIN_MATCHES_REF_KF) & (n_i2 >= MIN_INLIERS_TRACK))
+    used_fallback = (~ok1).astype(jnp.int32)
+
+    # --- 3. local map ---
+    kf_mask, pt_mask, ref_kf_new = assemble_local_map.__wrapped__(
+        state, mp2, 20
+    )
+    pose3, mp3, n_i3, n_vis, visible = track_local_map.__wrapped__(
+        state, frame._replace(mp=mp2), pose2, pt_mask, cam,
+        scale_factors, 1.0,
+    )
+    ok3 = ok2 & (n_i3 >= MIN_INLIERS_LOCAL)
+
+    # --- 4. visibility statistics (IncreaseVisible/IncreaseFound) ---
+    P = state.mp_xyz.shape[0]
+    mp_visible = state.mp_visible + visible.astype(jnp.float32)
+    found_add = jnp.zeros((P,), jnp.float32).at[jnp.clip(mp3, 0)].add(
+        (mp3 >= 0).astype(jnp.float32)
+    )
+    mp_found = state.mp_found + found_add
+
+    # --- 5. keyframe-policy counter ---
+    ref_tracked = count_ref_tracked.__wrapped__(state, ref_kf_new, min_obs)
+
+    scalars = jnp.stack(
+        [
+            ok3.astype(jnp.int32),
+            n_i3.astype(jnp.int32),
+            ref_kf_new,
+            ref_tracked.astype(jnp.int32),
+            n_m1.astype(jnp.int32),
+            n_i1.astype(jnp.int32),
+            used_fallback,
+        ]
+    )
+    return FullStepResult(
+        pose=pose3, mp=mp3, mp_visible=mp_visible, mp_found=mp_found,
+        scalars=scalars,
+    )
+
+
 @jax.jit
 def count_ref_tracked(state: MapState, ref_kf, min_obs):
     """TrackedMapPoints of the reference KF (reference
