@@ -124,6 +124,97 @@ def triangulate_with_neighbor(
     return TriangulationResult(xyz=X, ok=good, feat_new=feat_new, feat_nb=m.idx)
 
 
+@functools.partial(jax.jit, static_argnames=("max_new",))
+def insert_triangulated(
+    state: MapState,
+    tri: TriangulationResult,
+    slots,
+    kf_new,
+    kf_nb,
+    max_new: int = 256,
+):
+    """Write up to `max_new` triangulated points into preallocated slots —
+    fixed shapes (a traced `nonzero(size=...)` packs the survivors) so the
+    per-keyframe point creation compiles once, not per count."""
+    sel = jnp.nonzero(tri.ok, size=max_new, fill_value=-1)[0].astype(jnp.int32)
+    valid = sel >= 0
+    sel_c = jnp.clip(sel, 0)
+    state = mstate.add_points(
+        state,
+        slots,
+        tri.xyz[sel_c],
+        valid,
+        state.kf_desc[kf_new][sel_c],
+        jnp.zeros((max_new, 3), jnp.float32),
+        jnp.zeros((max_new,), jnp.float32),
+        jnp.full((max_new,), 1e9, jnp.float32),
+        jnp.full((max_new,), kf_new, jnp.int32),
+        jnp.full((max_new,), kf_new, jnp.int32),
+    )
+    state = mstate.bind_observations(state, kf_new, sel_c, slots, valid)
+    nb_feat = tri.feat_nb[sel_c]
+    state = mstate.bind_observations(
+        state, kf_nb, jnp.clip(nb_feat, 0), slots, valid & (nb_feat >= 0)
+    )
+    return state, jnp.sum(valid)
+
+
+@functools.partial(jax.jit, static_argnames=("max_new",))
+def create_depth_points(
+    state: MapState,
+    kf_slot,
+    cam: Camera,
+    th_depth,
+    slots,
+    max_new: int = 512,
+):
+    """Spawn map points for unbound close features of a stereo/RGBD
+    keyframe (reference CreateNewKeyFrame depth branch,
+    src/Tracking.cc:1170-1220: closest-first, all below ThDepth or the
+    closest 100) — fixed shapes, one dispatch."""
+    from ..geometry import camera as cam_mod
+    from ..geometry import se3 as se3_mod
+
+    depth = state.kf_depth[kf_slot]
+    mp = state.kf_mp[kf_slot]
+    fv = state.kf_feat_valid[kf_slot]
+    cand = (depth > 0) & (mp < 0) & fv
+    key = jnp.where(cand, depth, jnp.inf)
+    order = jnp.argsort(key)
+    sel = order[:max_new].astype(jnp.int32)
+    rank = jnp.arange(max_new)
+    valid = cand[sel] & ((depth[sel] < th_depth) | (rank < 100))
+
+    T = state.kf_pose[kf_slot]
+    Twc = se3_mod.inverse(T)
+    Xc = cam_mod.backproject(cam, state.kf_uv[kf_slot][sel], depth[sel])
+    xyz = se3_mod.transform(Twc, Xc)
+    state = mstate.add_points(
+        state, slots, xyz, valid,
+        state.kf_desc[kf_slot][sel],
+        jnp.zeros((max_new, 3), jnp.float32),
+        jnp.zeros((max_new,), jnp.float32),
+        jnp.full((max_new,), 1e9, jnp.float32),
+        jnp.full((max_new,), kf_slot, jnp.int32),
+        jnp.full((max_new,), kf_slot, jnp.int32),
+    )
+    state = mstate.bind_observations(state, kf_slot, sel, slots, valid)
+    return state, jnp.sum(valid)
+
+
+@jax.jit
+def fuse_pair(state: MapState, kf_src, kf_dst, cam: Camera, scale_factors):
+    """Fuse kf_src's points into kf_dst (one direction) as one dispatch."""
+    pts = state.kf_mp[kf_src]
+    m = fuse_into_keyframe(state, pts, kf_dst, cam, scale_factors)
+    return apply_fusion(state, kf_dst, pts, m.idx)
+
+
+@jax.jit
+def covis_row(state: MapState, kf_slot):
+    return map_ops.covisibility_matrix(state)[kf_slot]
+
+
 @jax.jit
 def fuse_into_keyframe(
     state: MapState,
@@ -373,10 +464,13 @@ class LocalMapper:
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.level_inv_sigma2 = 1.0 / self.level_sigma2
 
-    def free_point_slots(self, state: MapState, n: int) -> np.ndarray:
-        """Rotating free-slot allocation: freshly-culled slots are reused
-        LAST, so stale indices (old frame bindings, probation entries)
-        cannot silently alias a new point."""
+    def peek_point_slots(self, state: MapState, n: int) -> np.ndarray:
+        """Rotating free-slot candidates WITHOUT advancing the cursor:
+        freshly-culled slots are reused LAST, so stale indices (old frame
+        bindings, probation entries) cannot silently alias a new point.
+        NOTE: uses the host-side free mask, which may lag the device state
+        by in-flight insertions — callers advance via advance_point_slots
+        so consecutive peeks never overlap."""
         free = np.flatnonzero(~np.asarray(state.mp_valid))
         if len(free) < n:
             raise RuntimeError(
@@ -385,8 +479,15 @@ class LocalMapper:
             )
         pos = np.searchsorted(free, self._next_pt_slot)
         free = np.concatenate([free[pos:], free[:pos]])
-        sel = free[:n]
-        self._next_pt_slot = (int(sel[-1]) + 1) % self.cfg.max_points
+        return free[:n]
+
+    def advance_point_slots(self, slots: np.ndarray, n_used: int):
+        if n_used > 0:
+            self._next_pt_slot = (int(slots[n_used - 1]) + 1) % self.cfg.max_points
+
+    def free_point_slots(self, state: MapState, n: int) -> np.ndarray:
+        sel = self.peek_point_slots(state, n)
+        self.advance_point_slots(sel, n)
         return sel
 
     def process_keyframe(self, state: MapState, db, kf_slot: int,
@@ -397,55 +498,32 @@ class LocalMapper:
         (MapPointCulling's mlpRecentAddedMapPoints). kf_order: slot ids in
         insertion order."""
         cam = self.cam
-        covis = np.asarray(map_ops.covisibility_matrix(state)[kf_slot])
+        covis = np.asarray(covis_row(state, kf_slot))  # one (K,) pull
         neighbors = np.argsort(-covis)[: self.n_tri_nb]
         neighbors = [int(nb) for nb in neighbors if covis[nb] > 0]
 
         # --- CreateNewMapPoints over top covisibility neighbors ---
-        new_pts_total = []
+        # Fixed-shape insertion: MAX_NEW candidate slots preallocated per
+        # neighbor; only the used count is pulled back (one scalar).
+        MAX_NEW = 256
+        born = len(kf_order)
         for nb in neighbors:
             tri = triangulate_with_neighbor(
                 state, kf_slot, nb, cam, self.scale_factors, self.level_sigma2
             )
-            ok = np.asarray(tri.ok)
-            n_new = int(ok.sum())
-            if n_new == 0:
-                continue
-            sel = np.flatnonzero(ok)
-            slots = self.free_point_slots(state, n_new)
-            slots_j = jnp.asarray(slots, jnp.int32)
-            sel_j = jnp.asarray(sel, jnp.int32)
-            state = mstate.add_points(
-                state,
-                slots_j,
-                tri.xyz[sel_j],
-                jnp.ones((n_new,), bool),
-                state.kf_desc[kf_slot][sel_j],
-                jnp.zeros((n_new, 3), jnp.float32),
-                jnp.zeros((n_new,), jnp.float32),
-                jnp.full((n_new,), 1e9, jnp.float32),
-                jnp.full((n_new,), kf_slot, jnp.int32),
-                jnp.full((n_new,), kf_slot, jnp.int32),
+            slots = self.peek_point_slots(state, MAX_NEW)
+            state, n_used = insert_triangulated(
+                state, tri, jnp.asarray(slots, jnp.int32), kf_slot, nb,
+                max_new=MAX_NEW,
             )
-            state = mstate.bind_observations(
-                state, kf_slot, sel_j, slots_j, jnp.ones((n_new,), bool)
-            )
-            state = mstate.bind_observations(
-                state, nb, tri.feat_nb[sel_j], slots_j, jnp.ones((n_new,), bool)
-            )
-            new_pts_total.extend(slots.tolist())
-        born = len(kf_order)
-        recent_pts.extend((p, born) for p in new_pts_total)
+            n_used = int(n_used)
+            self.advance_point_slots(slots, n_used)
+            recent_pts.extend((int(p), born) for p in slots[:n_used])
 
         # --- SearchInNeighbors fusion (both directions) ---
-        own_pts = np.asarray(state.kf_mp[kf_slot])
-        own_pts_j = jnp.asarray(own_pts, jnp.int32)
         for nb in neighbors:
-            m = fuse_into_keyframe(state, own_pts_j, nb, cam, self.scale_factors)
-            state = apply_fusion(state, nb, own_pts_j, m.idx)
-            nb_pts = state.kf_mp[nb]
-            m2 = fuse_into_keyframe(state, nb_pts, kf_slot, cam, self.scale_factors)
-            state = apply_fusion(state, kf_slot, nb_pts, m2.idx)
+            state = fuse_pair(state, kf_slot, nb, cam, self.scale_factors)
+            state = fuse_pair(state, nb, kf_slot, cam, self.scale_factors)
 
         # Refresh point statistics after structure changes.
         state = map_ops.update_point_stats(state, self.cfg)

@@ -639,43 +639,18 @@ class System:
     def _create_depth_points(self, slot: int):
         """Stereo/RGBD keyframes spawn points for unbound close features
         (reference CreateNewKeyFrame depth branch, src/Tracking.cc:
-        1170-1220: sorted by depth, all below ThDepth or the closest 100)."""
-        from ..geometry import camera as cam_mod
-
-        st = self.state
-        depth_n = np.asarray(st.kf_depth[slot])
-        mp_n = np.asarray(st.kf_mp[slot])
-        valid_n = np.asarray(st.kf_feat_valid[slot])
-        cand = (depth_n > 0) & (mp_n < 0) & valid_n
-        close = cand & (depth_n < self.th_depth)
-        sel = np.flatnonzero(close)
-        if len(sel) < 100:
-            extra = np.flatnonzero(cand & ~close)
-            extra = extra[np.argsort(depth_n[extra])][: max(0, 100 - len(sel))]
-            sel = np.concatenate([sel, extra]).astype(np.int64)
-        if len(sel) == 0:
-            return
-        slots = self.mapper.free_point_slots(st, len(sel))
-        sel_j = jnp.asarray(sel)
-        slots_j = jnp.asarray(slots, jnp.int32)
-        Twc = jnp.asarray(np.linalg.inv(np.asarray(st.kf_pose[slot])))
-        Xc = cam_mod.backproject(self.cam, st.kf_uv[slot][sel_j], st.kf_depth[slot][sel_j])
-        xyz = se3.transform(Twc, Xc)
-        st = mstate.add_points(
-            st, slots_j, xyz, jnp.ones((len(sel),), bool),
-            st.kf_desc[slot][sel_j],
-            jnp.zeros((len(sel), 3), jnp.float32),
-            jnp.zeros((len(sel),), jnp.float32),
-            jnp.full((len(sel),), 1e9, jnp.float32),
-            jnp.full((len(sel),), slot, jnp.int32),
-            jnp.full((len(sel),), slot, jnp.int32),
+        1170-1220) — fixed-shape jitted insertion, one scalar pull."""
+        MAX_NEW = 512
+        slots = self.mapper.peek_point_slots(self.state, MAX_NEW)
+        self.state, n_used = local_mapping.create_depth_points(
+            self.state, jnp.int32(slot), self.cam,
+            jnp.float32(self.th_depth), jnp.asarray(slots, jnp.int32),
+            max_new=MAX_NEW,
         )
-        st = mstate.bind_observations(
-            st, slot, sel_j, slots_j, jnp.ones((len(sel),), bool)
-        )
-        self.state = st
+        n_used = int(n_used)
+        self.mapper.advance_point_slots(slots, n_used)
         born = len(self.kf_order) + 1
-        self.recent_pts.extend((int(p), born) for p in slots)
+        self.recent_pts.extend((int(p), born) for p in slots[:n_used])
 
     # ------------------------------------------------------------------
     def get_trajectory(self):

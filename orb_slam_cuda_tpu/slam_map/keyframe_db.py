@@ -14,6 +14,7 @@ covisibility-group score accumulation, 0.75·bestAcc gate) mirrors
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,7 @@ def empty(max_keyframes: int, bow_capacity: int) -> BowDB:
     )
 
 
+@jax.jit
 def compute_bow_row(word_ids, idf, feat_valid):
     """(N,) per-feature word ids + idf weights -> compacted unique
     (word_u, weight_u) rows, tf-idf accumulated and L1-normalized
@@ -57,6 +59,7 @@ def compute_bow_row(word_ids, idf, feat_valid):
     return word_u, weight_u
 
 
+@jax.jit
 def insert(db: BowDB, slot, word_u, weight_u) -> BowDB:
     return BowDB(
         word=db.word.at[slot].set(word_u),
@@ -65,6 +68,7 @@ def insert(db: BowDB, slot, word_u, weight_u) -> BowDB:
     )
 
 
+@jax.jit
 def erase(db: BowDB, slot) -> BowDB:
     return BowDB(
         word=db.word.at[slot].set(jnp.full_like(db.word[0], -1)),
@@ -73,6 +77,7 @@ def erase(db: BowDB, slot) -> BowDB:
     )
 
 
+@functools.partial(jax.jit, static_argnames=('n_words',))
 def dense_bow(word_u, weight_u, n_words: int):
     """Compacted row -> dense (W,) vector (query side only; W can be 10^6
     — one dense vector per query, never (K,W))."""
@@ -81,6 +86,7 @@ def dense_bow(word_u, weight_u, n_words: int):
     )
 
 
+@jax.jit
 def scores(db: BowDB, q_dense):
     """(K,) DBoW2 L1 similarity s = Σ_w min(v_w, q_w) ∈ [0,1]
     (TemplatedVocabulary L1Scoring; reference score call
@@ -92,6 +98,7 @@ def scores(db: BowDB, q_dense):
     return jnp.where(db.valid, s, 0.0)
 
 
+@jax.jit
 def common_words(db: BowDB, q_dense):
     """(K,) int32 count of shared words with the query."""
     q_has = q_dense > 0
@@ -99,6 +106,7 @@ def common_words(db: BowDB, q_dense):
     return jnp.where(db.valid, jnp.sum(hit, axis=1), 0).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=('top_covis',))
 def detect_candidates(
     db: BowDB,
     q_dense,

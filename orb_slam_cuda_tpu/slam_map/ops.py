@@ -20,6 +20,8 @@ table `kf_mp`:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,7 @@ def _obs_valid(state: MapState):
     return (state.kf_mp >= 0) & state.kf_valid[:, None]
 
 
+@jax.jit
 def observation_counts(state: MapState):
     """(P,) int32 — observations per map point (MapPoint::Observations)."""
     P = state.mp_xyz.shape[0]
@@ -44,6 +47,7 @@ def observation_counts(state: MapState):
     )
 
 
+@jax.jit
 def observation_matrix(state: MapState, dtype=jnp.bfloat16):
     """(K,P) incidence matrix (1 = kf observes point)."""
     K, N = state.kf_mp.shape
@@ -57,6 +61,7 @@ def observation_matrix(state: MapState, dtype=jnp.bfloat16):
     )
 
 
+@jax.jit
 def covisibility_matrix(state: MapState):
     """(K,K) int32 shared-point counts, diagonal zeroed. One bf16 MXU
     matmul replaces the reference's per-keyframe map<KeyFrame*,int>
@@ -74,6 +79,7 @@ def covisibility_matrix(state: MapState):
     return jnp.where(valid2, w, 0)
 
 
+@jax.jit
 def covisibility_counts_for_bindings(state: MapState, point_ids):
     """(K,) int32 — how many of `point_ids` ((M,) int32, -1 padded) each
     keyframe observes. The cheap one-row covisibility used by
@@ -86,6 +92,7 @@ def covisibility_counts_for_bindings(state: MapState, point_ids):
     return jnp.sum(hit, axis=1).astype(jnp.int32)
 
 
+@jax.jit
 def points_of_keyframes(state: MapState, kf_mask):
     """(P,) bool — union of points observed by masked keyframes
     (the local-map point set, reference src/Tracking.cc:1356-1382)."""
@@ -96,6 +103,7 @@ def points_of_keyframes(state: MapState, kf_mask):
     return sel & state.mp_valid
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
 def update_point_stats(state: MapState, cfg: MapConfig) -> MapState:
     """Recompute distinctive descriptors, normals and scale-distance
     bounds for all valid points from the observation table.
@@ -181,6 +189,7 @@ def update_point_stats(state: MapState, cfg: MapConfig) -> MapState:
     )
 
 
+@functools.partial(jax.jit, static_argnames=('min_found_ratio','th_obs'))
 def cull_points(
     state: MapState,
     probation_mask,
@@ -209,6 +218,7 @@ def cull_points(
     return probation_mask & state.mp_valid & (ratio_bad | few_obs_bad)
 
 
+@functools.partial(jax.jit, static_argnames=('th_scale_slack',))
 def keyframe_redundancy(state: MapState, kf_slot, th_scale_slack: int = 1):
     """Fraction of this keyframe's tracked points that are redundantly
     observed (≥3 other keyframes at equal-or-finer scale) — the ≥90%
@@ -241,6 +251,7 @@ def keyframe_redundancy(state: MapState, kf_slot, th_scale_slack: int = 1):
     return jnp.sum(redundant) / jnp.maximum(n_pts, 1)
 
 
+@jax.jit
 def increase_visible(state: MapState, point_ids, amount=None) -> MapState:
     """mp_visible += 1 for ids (−1 padded); reference MapPoint::IncreaseVisible."""
     sel = point_ids >= 0
@@ -250,6 +261,7 @@ def increase_visible(state: MapState, point_ids, amount=None) -> MapState:
     )
 
 
+@jax.jit
 def increase_found(state: MapState, point_ids, amount=None) -> MapState:
     sel = point_ids >= 0
     add = sel.astype(jnp.float32) if amount is None else jnp.where(sel, amount, 0.0)

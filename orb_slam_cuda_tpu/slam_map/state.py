@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,6 +142,7 @@ def empty(cfg: MapConfig) -> MapState:
     )
 
 
+@jax.jit
 def insert_keyframe(
     state: MapState,
     slot,
@@ -179,6 +181,7 @@ def insert_keyframe(
     )
 
 
+@jax.jit
 def add_points(
     state: MapState,
     slots,
@@ -211,6 +214,7 @@ def add_points(
     )
 
 
+@jax.jit
 def bind_observations(state: MapState, kf_slot, feat_idx, point_idx, valid) -> MapState:
     """Set kf_mp[kf_slot, feat_idx[i]] = point_idx[i] where valid[i]
     (replaces MapPoint::AddObservation + KeyFrame::AddMapPoint,
@@ -222,6 +226,7 @@ def bind_observations(state: MapState, kf_slot, feat_idx, point_idx, valid) -> M
     return state._replace(kf_mp=state.kf_mp.at[kf_slot].set(new_row))
 
 
+@jax.jit
 def erase_points(state: MapState, point_mask) -> MapState:
     """Invalidate map points and unbind every observation of them
     (replaces `MapPoint::SetBadFlag`, reference src/MapPoint.cc:144-166).
@@ -234,6 +239,7 @@ def erase_points(state: MapState, point_mask) -> MapState:
     )
 
 
+@jax.jit
 def erase_keyframe(state: MapState, kf_slot) -> MapState:
     """Invalidate a keyframe and its observation row (replaces
     `KeyFrame::SetBadFlag`, reference src/KeyFrame.cc:462-555; the

@@ -130,15 +130,19 @@ class TestCulling:
             mp_visible=st.mp_visible.at[4].set(10.0),
             mp_found=st.mp_found.at[4].set(1.0),
         )
-        kf_order = jnp.asarray(np.arange(CFG.max_keyframes, dtype=np.int32))
-        mask = np.asarray(ops.cull_points(st, 0, 3, kf_order))
+        P = CFG.max_points
+        probation = jnp.ones((P,), bool)
+        age = jnp.zeros((P,), jnp.int32)
+        mask = np.asarray(ops.cull_points(st, probation, age))
         assert mask[4]
 
     def test_few_obs_culled_after_age(self, rng):
         st = small_map(rng)
-        kf_order = jnp.asarray(np.arange(CFG.max_keyframes, dtype=np.int32))
-        # Point 0 observed once (KF0, first_kf=0); current order 3 >= 0+2.
-        mask = np.asarray(ops.cull_points(st, 0, 3, kf_order, th_obs=1))
+        P = CFG.max_points
+        probation = jnp.ones((P,), bool)
+        age = jnp.full((P,), 3, jnp.int32)
+        mask = np.asarray(ops.cull_points(st, probation, age, th_obs=1))
+        # Point 0 observed once and old enough -> culled.
         assert mask[0]
         # Point 4 has 2 observations > th_obs=1 and decent ratio: kept.
         assert not mask[4]
