@@ -25,7 +25,7 @@ import numpy as np
 BASELINE_FPS = 25.0  # assumed reference TX2 tracking fps (see docstring)
 WIDTH, HEIGHT = 1241, 376  # KITTI odometry camera
 N_FEATURES = 2000  # reference KITTI settings (KITTI00-02.yaml)
-WARMUP_FRAMES = 12
+WARMUP_FRAMES = 30  # must cover several keyframe insertions (compiles)
 MEASURE_FRAMES = 60
 
 
@@ -60,7 +60,7 @@ def main():
     cfg = SystemConfig(
         camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
         max_keyframes=128, max_points=16384, enable_loop_closing=True,
-        max_frames_between_kf=15,
+        max_frames_between_kf=8,
     )
     slam = System(cfg)
 
@@ -68,7 +68,12 @@ def main():
     t0 = time.time()
     for i in range(WARMUP_FRAMES):
         slam.track_monocular(frames[i], i * 0.1)
-    log(f"warmup done in {time.time() - t0:.1f}s; state={slam.tracking_state.name}")
+    log(
+        f"warmup done in {time.time() - t0:.1f}s; "
+        f"state={slam.tracking_state.name} kfs={slam.stats.n_keyframes}"
+    )
+    # Steady-state only in the reported stage means.
+    slam.timer.rows.clear()
 
     log("measuring...")
     t0 = time.time()

@@ -202,6 +202,69 @@ def create_depth_points(
     return state, jnp.sum(valid)
 
 
+@functools.partial(jax.jit, static_argnames=("max_new",))
+def triangulate_and_insert_all(
+    state: MapState,
+    kf_slot,
+    neighbors,
+    slot_matrix,
+    cam: Camera,
+    scale_factors,
+    level_sigma2,
+    max_new: int = 256,
+):
+    """CreateNewMapPoints over ALL covisibility neighbors in one dispatch:
+    lax.scan over the (padded, -1 = absent) neighbor list, each step
+    triangulating against one neighbor and inserting into its preallocated
+    slot row. Returns (state, (NB,) used counts) — one host pull total."""
+
+    def body(st, inp):
+        nb, slots = inp
+        nb_ok = nb >= 0
+        nb_c = jnp.clip(nb, 0)
+        tri = triangulate_with_neighbor(
+            st, kf_slot, nb_c, cam, scale_factors, level_sigma2
+        )
+        tri = tri._replace(ok=tri.ok & nb_ok)
+        st, n_used = insert_triangulated(
+            st, tri, slots, kf_slot, nb_c, max_new=max_new
+        )
+        return st, n_used
+
+    state, n_used = jax.lax.scan(body, state, (neighbors, slot_matrix))
+    return state, n_used
+
+
+@jax.jit
+def fuse_all(state: MapState, kf_slot, neighbors, cam: Camera, scale_factors):
+    """SearchInNeighbors fusion, both directions for every neighbor, as
+    one scanned dispatch."""
+
+    def body(st, nb):
+        nb_ok = nb >= 0
+        nb_c = jnp.clip(nb, 0)
+
+        def do(st):
+            st = fuse_pair(st, kf_slot, nb_c, cam, scale_factors)
+            return fuse_pair(st, nb_c, kf_slot, cam, scale_factors)
+
+        st = jax.lax.cond(nb_ok, do, lambda st: st, st)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, neighbors)
+    return state
+
+
+@jax.jit
+def redundancy_all(state: MapState, neighbors):
+    """KeyFrameCulling redundancy fractions for all neighbors at once."""
+    return jax.vmap(
+        lambda nb: jnp.where(
+            nb >= 0, map_ops.keyframe_redundancy(state, jnp.clip(nb, 0)), 0.0
+        )
+    )(neighbors)
+
+
 @jax.jit
 def fuse_pair(state: MapState, kf_src, kf_dst, cam: Camera, scale_factors):
     """Fuse kf_src's points into kf_dst (one direction) as one dispatch."""
@@ -503,27 +566,36 @@ class LocalMapper:
         neighbors = [int(nb) for nb in neighbors if covis[nb] > 0]
 
         # --- CreateNewMapPoints over top covisibility neighbors ---
-        # Fixed-shape insertion: MAX_NEW candidate slots preallocated per
-        # neighbor; only the used count is pulled back (one scalar).
+        # One scanned dispatch for all neighbors; slots for every neighbor
+        # row preallocated; one (NB,) pull of used counts.
         MAX_NEW = 256
+        NB = self.n_tri_nb
         born = len(kf_order)
-        for nb in neighbors:
-            tri = triangulate_with_neighbor(
-                state, kf_slot, nb, cam, self.scale_factors, self.level_sigma2
+        nb_arr = np.full(NB, -1, np.int32)
+        nb_arr[: len(neighbors)] = neighbors
+        slot_matrix = self.peek_point_slots(state, NB * MAX_NEW).reshape(NB, MAX_NEW)
+        state, n_used_arr = triangulate_and_insert_all(
+            state, jnp.int32(kf_slot), jnp.asarray(nb_arr),
+            jnp.asarray(slot_matrix, jnp.int32), cam,
+            self.scale_factors, self.level_sigma2, max_new=MAX_NEW,
+        )
+        n_used_arr = np.asarray(n_used_arr)
+        for row in range(NB):
+            n_u = int(n_used_arr[row])
+            recent_pts.extend((int(p), born) for p in slot_matrix[row, :n_u])
+        # Advance the allocator past every slot row that saw use.
+        used_rows = np.flatnonzero(n_used_arr > 0)
+        if len(used_rows):
+            last_row = used_rows[-1]
+            self.advance_point_slots(
+                slot_matrix[last_row], int(n_used_arr[last_row])
             )
-            slots = self.peek_point_slots(state, MAX_NEW)
-            state, n_used = insert_triangulated(
-                state, tri, jnp.asarray(slots, jnp.int32), kf_slot, nb,
-                max_new=MAX_NEW,
-            )
-            n_used = int(n_used)
-            self.advance_point_slots(slots, n_used)
-            recent_pts.extend((int(p), born) for p in slots[:n_used])
 
-        # --- SearchInNeighbors fusion (both directions) ---
-        for nb in neighbors:
-            state = fuse_pair(state, kf_slot, nb, cam, self.scale_factors)
-            state = fuse_pair(state, nb, kf_slot, cam, self.scale_factors)
+        # --- SearchInNeighbors fusion (both directions, one dispatch) ---
+        state = fuse_all(
+            state, jnp.int32(kf_slot), jnp.asarray(nb_arr), cam,
+            self.scale_factors,
+        )
 
         # Refresh point statistics after structure changes.
         state = map_ops.update_point_stats(state, self.cfg)
@@ -562,19 +634,15 @@ class LocalMapper:
                 if not cull_n[p] and mp_valid_n[p] and cur - born < 3
             ]
 
-        # --- KeyFrameCulling on local neighbors ---
-        culled = []
-        for nb in neighbors:
-            if len(kf_order) <= 3:
-                break
-            red = float(keyframe_redundancy_cached(state, nb))
-            if red > 0.9:
-                state = mstate.erase_keyframe(state, nb)
-                db = keyframe_db.erase(db, nb)
-                culled.append(nb)
-        for c in culled:
-            if c in kf_order:
-                kf_order.remove(c)
+        # --- KeyFrameCulling on local neighbors (one dispatch) ---
+        if len(kf_order) > 3 and neighbors:
+            reds = np.asarray(redundancy_all(state, jnp.asarray(nb_arr)))
+            for row, nb in enumerate(neighbors):
+                if reds[row] > 0.9:
+                    state = mstate.erase_keyframe(state, nb)
+                    db = keyframe_db.erase(db, nb)
+                    if nb in kf_order:
+                        kf_order.remove(nb)
 
         return state, db
 
