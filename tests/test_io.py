@@ -151,3 +151,31 @@ class TestCheckpoint:
         assert tracked >= 10, "failed to localize against the loaded map"
         # Localization mode must not grow the map.
         assert len(slam2.kf_order) == len(slam.kf_order)
+
+
+class TestBalIO:
+    def test_roundtrip(self, rng, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_bundle_adjust import build_problem
+
+        from orb_slam_cuda_tpu.io import bal
+
+        problem, poses_true, X, cam = build_problem(rng, n_cams=3, n_pts=20)
+        p = str(tmp_path / "prob.bal")
+        bal.save_bal(problem, p, focal=500.0)
+        loaded, focal = bal.load_bal(p)
+        assert focal == pytest.approx(500.0)
+        np.testing.assert_allclose(
+            np.asarray(loaded.cam_pose), np.asarray(problem.cam_pose), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(loaded.xyz), np.asarray(problem.xyz), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(loaded.obs_uv), np.asarray(problem.obs_uv), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.obs_cam), np.asarray(problem.obs_cam)
+        )
