@@ -662,6 +662,33 @@ class System:
         return self.stats.n_tracked / max(self.stats.n_frames, 1)
 
     # ------------------------------------------------------------------
+    def map_changed(self) -> bool:
+        """True once per map mutation epoch (reference System::MapChanged
+        served over the ROS query/response channel, src/System.cc:123-125 +
+        Examples/ROS ros_mono.cc:148-159 AnswerQuery)."""
+        idx = self.stats.n_keyframes + (
+            self.loop_closer.n_loops_closed if self.loop_closer else 0
+        )
+        changed = idx != getattr(self, "_last_map_change_idx", -1)
+        self._last_map_change_idx = idx
+        return changed
+
+    def get_status(self) -> dict:
+        """Health snapshot (the observability counterpart of the
+        reference's ROS status topic + shutdown printouts)."""
+        return {
+            "state": self.tracking_state.name,
+            "frames": self.stats.n_frames,
+            "tracked_ratio": round(self.tracked_ratio(), 4),
+            "keyframes": self.stats.n_keyframes,
+            "relocalizations": self.stats.n_reloc,
+            "loops_closed": (
+                self.loop_closer.n_loops_closed if self.loop_closer else 0
+            ),
+            "localization_only": self.localization_only,
+        }
+
+    # ------------------------------------------------------------------
     def set_localization_mode(self, enabled: bool):
         """Localization-only switching (reference
         ActivateLocalizationMode/DeactivateLocalizationMode,
