@@ -136,6 +136,38 @@ class System:
 
         self._frame_fn = _jax.jit(_frame_fn)
 
+        _scale_factors_c = tuple(self.map_cfg.scale_factors)
+
+        def _stereo_frame_fn(left, right):
+            from . import stereo as stereo_mod
+            from ..ops import hamming as _hamming
+
+            lf = _extract_impl(left)
+            rf = _extract_impl(right)
+            frame = build_frame(lf, _cam, _vocab)
+            ur, depth = stereo_mod.match_stereo(
+                frame.uv, frame.oct, frame.bip, frame.valid,
+                rf.uv, rf.octave, _hamming.bipolar(rf.desc), rf.valid,
+                _cam, _scale_factors_c,
+                left_img=left, right_img=right,
+            )
+            return frame._replace(right=ur, depth=depth)
+
+        self._stereo_frame_fn = _jax.jit(_stereo_frame_fn)
+
+        def _rgbd_frame_fn(image, depth_map, depth_factor):
+            from . import stereo as stereo_mod
+
+            feats = _extract_impl(image)
+            frame = build_frame(feats, _cam, _vocab)
+            depth = stereo_mod.depth_from_rgbd(
+                frame.uv_raw, frame.valid, depth_map, _cam, depth_factor
+            )
+            ur = stereo_mod.virtual_right(frame.uv, depth, _cam)
+            return frame._replace(right=ur, depth=depth)
+
+        self._rgbd_frame_fn = _jax.jit(_rgbd_frame_fn)
+
         self.state = mstate.empty(self.map_cfg)
         self.db = keyframe_db.empty(config.max_keyframes, config.n_features)
         self.mapper = local_mapping.LocalMapper(self.map_cfg, cam)
@@ -191,19 +223,9 @@ class System:
         both run through the same compiled extractor), associate stereo
         depth, then track."""
         assert self.cfg.sensor == Sensor.STEREO
-        from . import stereo as stereo_mod
-
-        lf = self.extractor(left)
-        rf = self.extractor(right)
-        frame = build_frame(lf, self.cam, self.vocab)
-        r_uv = rf.uv  # right keypoints stay raw (rectified pair)
-        ur, depth = stereo_mod.match_stereo(
-            frame.uv, frame.oct, frame.bip, frame.valid,
-            r_uv, rf.octave, hamming.bipolar(rf.desc), rf.valid,
-            self.cam, self.scale_factors,
-            left_img=jnp.asarray(left), right_img=jnp.asarray(right),
-        )
-        frame = frame._replace(right=ur, depth=depth)
+        self.timer.set_frame(self.frame_id)
+        with self.timer.stage("times.csv", "orb_extract_stereo"):
+            frame = self._stereo_frame_fn(jnp.asarray(left), jnp.asarray(right))
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
             self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
@@ -217,16 +239,12 @@ class System:
         """Reference System::TrackRGBD -> GrabImageRGBD
         (src/System.cc:216-256, src/Tracking.cc:254-285)."""
         assert self.cfg.sensor == Sensor.RGBD
-        from . import stereo as stereo_mod
-
-        feats = self.extractor(image)
-        frame = build_frame(feats, self.cam, self.vocab)
-        depth = stereo_mod.depth_from_rgbd(
-            frame.uv_raw, frame.valid, jnp.asarray(depth_map), self.cam,
-            self.cfg.depth_map_factor,
-        )
-        ur = stereo_mod.virtual_right(frame.uv, depth, self.cam)
-        frame = frame._replace(right=ur, depth=depth)
+        self.timer.set_frame(self.frame_id)
+        with self.timer.stage("times.csv", "orb_extract_rgbd"):
+            frame = self._rgbd_frame_fn(
+                jnp.asarray(image), jnp.asarray(depth_map),
+                jnp.float32(self.cfg.depth_map_factor),
+            )
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
             self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
