@@ -58,3 +58,31 @@ class TestDistributedBA:
         assert len(sharded.obs_uv.sharding.device_set) == 8
         assert not sharded.obs_uv.sharding.is_fully_replicated
         assert sharded.cam_pose.sharding.is_fully_replicated
+
+
+class TestMultihost:
+    def test_covisibility_clusters(self, rng):
+        from orb_slam_cuda_tpu.parallel.multihost import covisibility_clusters
+
+        K = 16
+        covis = np.zeros((K, K), np.int32)
+        # Two covisibility blobs: 0-7 and 8-15.
+        for a in range(8):
+            for b in range(8):
+                if a != b:
+                    covis[a, b] = 50
+                    covis[8 + a, 8 + b] = 50
+        valid = np.ones(K, bool)
+        assign = covisibility_clusters(covis, valid, 2)
+        assert set(assign.tolist()) <= {0, 1}
+        # Each blob should be (mostly) one cluster.
+        first = assign[:8]
+        second = assign[8:]
+        assert (first == first[0]).mean() >= 0.75
+        assert (second == second[0]).mean() >= 0.75
+        assert first[0] != second[0] or len(set(assign)) == 2
+
+    def test_initialize_noop_single_process(self):
+        from orb_slam_cuda_tpu.parallel.multihost import initialize_distributed
+
+        assert initialize_distributed() is False
