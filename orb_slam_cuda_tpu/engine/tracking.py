@@ -273,10 +273,24 @@ def full_track_step(
     state machine body compiles into a single XLA program and the host
     reads back one small scalar vector per frame.
     """
-    # --- 1. motion model ---
+    # --- 1. motion model (with the reference's doubled-window retry when
+    # matches run short, src/Tracking.cc:972-976) ---
     pose1, mp1, n_m1, n_i1 = track_motion_model.__wrapped__(
         state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
         last_mp, cam, scale_factors, radius_mm,
+    )
+
+    def widen(_):
+        return track_motion_model.__wrapped__(
+            state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
+            last_mp, cam, scale_factors, 2.0 * radius_mm,
+        )
+
+    pose1, mp1, n_m1, n_i1 = jax.lax.cond(
+        n_m1 < MIN_MATCHES_MOTION,
+        widen,
+        lambda _: (pose1, mp1, n_m1, n_i1),
+        None,
     )
     ok1 = (n_m1 >= MIN_MATCHES_MOTION) & (n_i1 >= MIN_INLIERS_TRACK)
 
