@@ -27,7 +27,6 @@ from ..matching import search
 from ..ops import hamming
 from ..slam_map import MapConfig, MapState, keyframe_db, ops as map_ops, state as mstate
 from ..solvers import bundle_adjust as ba
-from .frame import FrameData
 
 
 class TriangulationResult(NamedTuple):

@@ -14,7 +14,7 @@ with all heavy steps jitted (see engine/system.py note on asynchrony).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,17 +12,15 @@ steps execute on-device; loop closing lives in engine/loop_closing.py.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..frontend import ExtractorConfig, ORBExtractor
-from ..geometry import se3
 from ..geometry.camera import Camera
 from ..matching import search
-from ..ops import hamming
 from ..slam_map import MapConfig, keyframe_db, ops as map_ops, state as mstate
 from ..solvers import bundle_adjust as ba
 from ..solvers import initializer as init_solver

@@ -14,17 +14,15 @@ each branch body is a compiled function reused across frames.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..geometry import se3
 from ..geometry.camera import Camera
 from ..matching import search
 from ..ops import hamming
-from ..slam_map import MapConfig, MapState, ops as map_ops
+from ..slam_map import MapState, ops as map_ops
 from ..solvers import pose_opt
 from .frame import FrameData
 

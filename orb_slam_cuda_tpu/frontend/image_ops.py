@@ -10,7 +10,6 @@ whole per-level pipeline into a few kernels.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

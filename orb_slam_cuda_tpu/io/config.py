@@ -11,7 +11,6 @@ fork's VX graph was, src/Tracking.cc:124-127).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from ..engine.system import Sensor, SystemConfig
 from ..geometry.camera import Camera

@@ -20,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..frontend.fast import CIRCLE, _ARC
 

@@ -132,8 +132,6 @@ class PlanarScene:
 
     def render_stereo(self, K, Tcw, baseline: float, width: int, height: int):
         """Left/right pair; right camera displaced +baseline along cam x."""
-        import numpy.linalg as la
-
         T_rl = np.eye(4)
         T_rl[0, 3] = -baseline  # right cam sees points shifted -x
         left = self.render(K, Tcw, width, height)

@@ -22,10 +22,8 @@ synthetic images, and a loader for the stock ORBvoc.txt text format
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
