@@ -25,7 +25,7 @@ import numpy as np
 BASELINE_FPS = 25.0  # assumed reference TX2 tracking fps (see docstring)
 WIDTH, HEIGHT = 1241, 376  # KITTI odometry camera
 N_FEATURES = 2000  # reference KITTI settings (KITTI00-02.yaml)
-WARMUP_FRAMES = 30  # must cover several keyframe insertions (compiles)
+WARMUP_FRAMES = 48  # must cover keyframe insertion AND loop-detection compiles
 MEASURE_FRAMES = 60
 
 
