@@ -511,12 +511,17 @@ class LocalMapper:
     engine-level roadmap)."""
 
     def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=12,
-                 lba_local=16, lba_fixed=8, lba_points=4096):
+                 lba_local=16, lba_fixed=8, lba_points=4096,
+                 kf_cull_redundancy=0.9):
         # n_triangulate_neighbors: reference uses 20 covisibility
         # neighbors for mono, 10 otherwise (src/LocalMapping.cc:246).
+        # kf_cull_redundancy: reference hardcodes 0.9 (src/LocalMapping.cc:
+        # 668-736, "90% of the MapPoints it sees are seen in at least
+        # other 3 keyframes"); exposed as a tunable.
         self.cfg = cfg
         self.cam = cam
         self.n_tri_nb = n_triangulate_neighbors
+        self.kf_cull_redundancy = kf_cull_redundancy
         self.lba_local = lba_local
         self.lba_fixed = lba_fixed
         self.lba_points = lba_points
@@ -634,10 +639,16 @@ class LocalMapper:
             ]
 
         # --- KeyFrameCulling on local neighbors (one dispatch) ---
+        # The origin keyframe is never culled (reference
+        # src/LocalMapping.cc:683 skips mnId==0); kf_order[0] is the
+        # origin since it can never be removed from the map.
+        origin = kf_order[0] if kf_order else -1
         if len(kf_order) > 3 and neighbors:
             reds = np.asarray(redundancy_all(state, jnp.asarray(nb_arr)))
             for row, nb in enumerate(neighbors):
-                if reds[row] > 0.9:
+                if nb == origin:
+                    continue
+                if reds[row] > self.kf_cull_redundancy:
                     state = mstate.erase_keyframe(state, nb)
                     db = keyframe_db.erase(db, nb)
                     if nb in kf_order:

@@ -69,6 +69,9 @@ class SystemConfig:
     depth_map_factor: float = 1.0
     enable_loop_closing: bool = True
     loop_min_kfs: int = 10  # reference: map must have >10 KFs (LoopClosing.cc:131)
+    # KeyFrameCulling redundancy threshold (reference hardcodes 0.9,
+    # src/LocalMapping.cc:668-736). >1 disables keyframe culling.
+    kf_cull_redundancy: float = 0.9
 
 
 @dataclass
@@ -168,7 +171,9 @@ class System:
 
         self.state = mstate.empty(self.map_cfg)
         self.db = keyframe_db.empty(config.max_keyframes, config.n_features)
-        self.mapper = local_mapping.LocalMapper(self.map_cfg, cam)
+        self.mapper = local_mapping.LocalMapper(
+            self.map_cfg, cam, kf_cull_redundancy=config.kf_cull_redundancy
+        )
         self.scale_factors = jnp.asarray(self.map_cfg.scale_factors, jnp.float32)
 
         self.tracking_state = TrackingState.NO_IMAGES_YET
@@ -208,7 +213,7 @@ class System:
         assert self.cfg.sensor == Sensor.MONOCULAR
         self.timer.set_frame(self.frame_id)
         with self.timer.stage("times.csv", "orb_extract"):
-            frame = self._frame_fn(jnp.asarray(image))
+            frame = self._frame_fn(image)  # numpy in: jit transfers async
         with self.timer.stage("timesTracking.csv", "track", sync=None):
             pose = self._track(frame, timestamp)
         self.frame_id += 1
@@ -223,7 +228,7 @@ class System:
         assert self.cfg.sensor == Sensor.STEREO
         self.timer.set_frame(self.frame_id)
         with self.timer.stage("times.csv", "orb_extract_stereo"):
-            frame = self._stereo_frame_fn(jnp.asarray(left), jnp.asarray(right))
+            frame = self._stereo_frame_fn(left, right)
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
             self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
@@ -240,8 +245,7 @@ class System:
         self.timer.set_frame(self.frame_id)
         with self.timer.stage("times.csv", "orb_extract_rgbd"):
             frame = self._rgbd_frame_fn(
-                jnp.asarray(image), jnp.asarray(depth_map),
-                jnp.float32(self.cfg.depth_map_factor),
+                image, depth_map, np.float32(self.cfg.depth_map_factor),
             )
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
@@ -336,15 +340,19 @@ class System:
                 else tracking.MOTION_MODEL_RADIUS
             )
             min_obs = 3 if len(self.kf_order) > 2 else 2
+            # Args go in as host numpy (jit transfers them asynchronously;
+            # explicit device_put/jnp.asarray would add a blocking push
+            # each through a high-latency link).
             res = tracking.full_track_step(
                 self.state, frame,
-                jnp.asarray(pose_pred.astype(np.float32)),
-                jnp.asarray(self.last_pose.astype(np.float32)),
+                pose_pred.astype(np.float32),
+                self.last_pose.astype(np.float32),
                 lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
-                jnp.int32(self.ref_kf), jnp.int32(min_obs),
+                np.int32(self.ref_kf), np.int32(min_obs),
                 self.cam, self.scale_factors, radius,
             )
-            scal = np.asarray(res.scalars)
+            vec = np.asarray(res.host_vec)  # the frame's ONE device pull
+            scal = vec[:7].astype(np.int64)
             ok = bool(scal[0])
             self.state = self.state._replace(
                 mp_visible=res.mp_visible, mp_found=res.mp_found
@@ -353,7 +361,7 @@ class System:
             self.n_inliers_local = int(scal[1])
             self.ref_tracked = int(scal[3])
             if ok:
-                pose = np.asarray(res.pose)
+                pose = vec[7:23].reshape(4, 4).copy()
                 self.last_frame = frame._replace(mp=res.mp)
         if self.tracking_state == TrackingState.LOST or not ok:
             pose, ok = self._relocalize(frame)

@@ -236,15 +236,20 @@ def track_local_map(
 
 
 class FullStepResult(NamedTuple):
-    """Output of the fused per-frame step. `scalars` is the ONE array the
-    host pulls: [track_ok, n_inliers_local, ref_kf, ref_tracked,
-    n_matches_mm, n_inl_mm, used_fallback]."""
+    """Output of the fused per-frame step. `host_vec` is the ONE array
+    the host pulls per frame — float32 (23,): the 7 state-machine
+    scalars [track_ok, n_inliers_local, ref_kf, ref_tracked,
+    n_matches_mm, n_inl_mm, used_fallback] followed by the 4x4 pose
+    (row-major). Through a high-latency link every device->host
+    transfer costs a round trip, so the scalars and the pose ride one
+    transfer. `scalars`/`pose` stay on device for chaining."""
 
     pose: jnp.ndarray
     mp: jnp.ndarray
     mp_visible: jnp.ndarray
     mp_found: jnp.ndarray
     scalars: jnp.ndarray
+    host_vec: jnp.ndarray
 
 
 @jax.jit
@@ -337,9 +342,12 @@ def full_track_step(
             used_fallback,
         ]
     )
+    host_vec = jnp.concatenate(
+        [scalars.astype(jnp.float32), pose3.reshape(16)]
+    )
     return FullStepResult(
         pose=pose3, mp=mp3, mp_visible=mp_visible, mp_found=mp_found,
-        scalars=scalars,
+        scalars=scalars, host_vec=host_vec,
     )
 
 

@@ -90,9 +90,12 @@ class TestMonocularEndToEnd:
         # (src/Tracking.cc:537-544), which is separate behavior.
         scene, cam = scene_and_cam
         poses = synthetic.orbit_trajectory(44, radius=0.6)
-        # Denser keyframes so the map exceeds the 5-KF reset floor by the
-        # time the blackout hits.
-        slam = make_system(cam, max_frames_between_kf=4)
+        # Denser keyframes and no keyframe culling so the map
+        # deterministically exceeds the 5-KF reset floor on every backend
+        # by the time the blackout hits (CPU numerics cull more
+        # aggressively on this highly redundant synthetic orbit, which
+        # would flip recovery into the full-reset path instead).
+        slam = make_system(cam, max_frames_between_kf=4, kf_cull_redundancy=1.1)
         K = np.asarray(cam.K)
         blank = np.zeros((H, W), np.uint8)
         tracked_after = 0
