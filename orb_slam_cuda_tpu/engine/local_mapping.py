@@ -277,6 +277,23 @@ def covis_row(state: MapState, kf_slot):
     return map_ops.covisibility_matrix(state)[kf_slot]
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def top_covis_neighbors(state: MapState, kf_slot, nb: int):
+    """Top-nb covisibility neighbors of a keyframe, -1 padded — computed
+    on device so neighbor selection adds no host round trip (reference
+    GetBestCovisibilityKeyFrames, src/KeyFrame.cc:169-180)."""
+    covis = map_ops.covisibility_matrix(state)[kf_slot]
+    vals, idx = jax.lax.top_k(covis, nb)
+    return jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+
+
+@jax.jit
+def gather_mask(mask, ids):
+    """mask[ids] with -1 padding -> False (one small pull instead of the
+    full (P,) mask through a high-latency link)."""
+    return jnp.where(ids >= 0, mask[jnp.clip(ids, 0)], False)
+
+
 @jax.jit
 def fuse_into_keyframe(
     state: MapState,
@@ -526,19 +543,43 @@ class LocalMapper:
         self.lba_fixed = lba_fixed
         self.lba_points = lba_points
         self._next_pt_slot = 0  # rotating allocator (delays slot reuse)
+        # Host mirror of state.mp_valid for slot allocation. It is
+        # CONSERVATIVE: the host marks slots used when it hands them out
+        # and free when it learns of culls; device-side invalidations it
+        # has not observed (e.g. fusion Replace) only make it
+        # over-estimate occupancy, never alias a live point. resync()
+        # pulls the true mask when the mirror runs out of free slots.
+        self.mp_valid_host = np.zeros(cfg.max_points, bool)
         sf = cfg.scale_factors
         self.scale_factors = jnp.asarray(sf, jnp.float32)
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.level_inv_sigma2 = 1.0 / self.level_sigma2
 
+    def note_points_added(self, slots):
+        slots = np.asarray(slots, np.int64)
+        if slots.size:
+            self.mp_valid_host[slots] = True
+
+    def note_points_erased(self, slots):
+        slots = np.asarray(slots, np.int64)
+        if slots.size:
+            self.mp_valid_host[slots] = False
+
+    def resync_point_mirror(self, state: MapState):
+        """Pull the true occupancy mask (one transfer); used after map
+        load/reset and when conservative drift exhausts the mirror."""
+        self.mp_valid_host = np.asarray(state.mp_valid).copy()
+
     def peek_point_slots(self, state: MapState, n: int) -> np.ndarray:
         """Rotating free-slot candidates WITHOUT advancing the cursor:
         freshly-culled slots are reused LAST, so stale indices (old frame
         bindings, probation entries) cannot silently alias a new point.
-        NOTE: uses the host-side free mask, which may lag the device state
-        by in-flight insertions — callers advance via advance_point_slots
-        so consecutive peeks never overlap."""
-        free = np.flatnonzero(~np.asarray(state.mp_valid))
+        Allocation consults the host mirror — no device pull on the
+        keyframe hot path."""
+        free = np.flatnonzero(~self.mp_valid_host)
+        if len(free) < n:
+            self.resync_point_mirror(state)
+            free = np.flatnonzero(~self.mp_valid_host)
         if len(free) < n:
             raise RuntimeError(
                 f"map point capacity exhausted ({self.cfg.max_points}); "
@@ -563,43 +604,32 @@ class LocalMapper:
 
         recent_pts: host-side list of probation point ids
         (MapPointCulling's mlpRecentAddedMapPoints). kf_order: slot ids in
-        insertion order."""
+        insertion order.
+
+        Latency discipline: every step is dispatched asynchronously and
+        the host pulls ONE batched tuple at the end (neighbor ids, used
+        slot counts, probation culls, keyframe redundancies). Through a
+        high-latency device link this is the difference between ~6 round
+        trips per keyframe and 1."""
         cam = self.cam
-        covis = np.asarray(covis_row(state, kf_slot))  # one (K,) pull
-        neighbors = np.argsort(-covis)[: self.n_tri_nb]
-        neighbors = [int(nb) for nb in neighbors if covis[nb] > 0]
+        # Neighbor selection on device (no pull).
+        NB = self.n_tri_nb
+        nb_arr = top_covis_neighbors(state, np.int32(kf_slot), NB)
 
         # --- CreateNewMapPoints over top covisibility neighbors ---
         # One scanned dispatch for all neighbors; slots for every neighbor
-        # row preallocated; one (NB,) pull of used counts.
+        # row preallocated from the host mirror.
         MAX_NEW = 256
-        NB = self.n_tri_nb
         born = len(kf_order)
-        nb_arr = np.full(NB, -1, np.int32)
-        nb_arr[: len(neighbors)] = neighbors
         slot_matrix = self.peek_point_slots(state, NB * MAX_NEW).reshape(NB, MAX_NEW)
         state, n_used_arr = triangulate_and_insert_all(
-            state, jnp.int32(kf_slot), jnp.asarray(nb_arr),
-            jnp.asarray(slot_matrix, jnp.int32), cam,
+            state, np.int32(kf_slot), nb_arr,
+            np.asarray(slot_matrix, np.int32), cam,
             self.scale_factors, self.level_sigma2, max_new=MAX_NEW,
         )
-        n_used_arr = np.asarray(n_used_arr)
-        for row in range(NB):
-            n_u = int(n_used_arr[row])
-            recent_pts.extend((int(p), born) for p in slot_matrix[row, :n_u])
-        # Advance the allocator past every slot row that saw use.
-        used_rows = np.flatnonzero(n_used_arr > 0)
-        if len(used_rows):
-            last_row = used_rows[-1]
-            self.advance_point_slots(
-                slot_matrix[last_row], int(n_used_arr[last_row])
-            )
 
         # --- SearchInNeighbors fusion (both directions, one dispatch) ---
-        state = fuse_all(
-            state, jnp.int32(kf_slot), jnp.asarray(nb_arr), cam,
-            self.scale_factors,
-        )
+        state = fuse_all(state, np.int32(kf_slot), nb_arr, cam, self.scale_factors)
 
         # Refresh point statistics after structure changes.
         state = map_ops.update_point_stats(state, self.cfg)
@@ -616,39 +646,75 @@ class LocalMapper:
         # --- MapPointCulling (probation list) ---
         # recent_pts holds (point_slot, kf_count_at_creation); ages are in
         # keyframe counts, matching the reference's mnCurrentKFid -
-        # mnFirstKFid semantics and immune to slot recycling.
+        # mnFirstKFid semantics and immune to slot recycling. The erase is
+        # applied on device from the device mask; the host only pulls the
+        # cull verdicts of its probation ids (bucketed padding so the
+        # gather shape stays compile-stable).
+        cur = len(kf_order)
+        probation_ids = np.fromiter(
+            (p for p, _ in recent_pts), np.int32, count=len(recent_pts)
+        )
+        cull_sel = None
         if recent_pts:
             P = self.cfg.max_points
-            cur = len(kf_order)
             probation = np.zeros(P, bool)
             age = np.zeros(P, np.int32)
-            for p, born in recent_pts:
+            for p, b in recent_pts:
                 probation[p] = True
-                age[p] = cur - born
-            cull = map_ops.cull_points(
-                state, jnp.asarray(probation), jnp.asarray(age), th_obs=2
-            )
-            cull_n = np.asarray(cull)
+                age[p] = cur - b
+            cull = map_ops.cull_points(state, probation, age, th_obs=2)
             state = mstate.erase_points(state, cull)
-            mp_valid_n = np.asarray(state.mp_valid)
+            pad = 256
+            while pad < len(probation_ids):
+                pad *= 2
+            ids_pad = np.full(pad, -1, np.int32)
+            ids_pad[: len(probation_ids)] = probation_ids
+            cull_sel = gather_mask(cull, ids_pad)
+
+        # --- KeyFrameCulling redundancies (decision data only) ---
+        reds_dev = None
+        if len(kf_order) > 3:
+            reds_dev = redundancy_all(state, nb_arr)
+
+        # === the ONE host pull for this keyframe ===
+        nb_host, n_used_host, cull_host, reds_host = jax.device_get(
+            (nb_arr, n_used_arr, cull_sel, reds_dev)
+        )
+
+        # Bookkeeping from the pulled scalars.
+        for row in range(NB):
+            n_u = int(n_used_host[row])
+            recent_pts.extend((int(p), born) for p in slot_matrix[row, :n_u])
+            self.note_points_added(slot_matrix[row, :n_u])
+        used_rows = np.flatnonzero(n_used_host > 0)
+        if len(used_rows):
+            last_row = used_rows[-1]
+            self.advance_point_slots(
+                slot_matrix[last_row], int(n_used_host[last_row])
+            )
+        if cull_host is not None:
+            culled = set(
+                int(p) for p, dead in zip(probation_ids, cull_host) if dead
+            )
+            self.note_points_erased(np.fromiter(culled, np.int64, len(culled)))
             # Survivors stay on probation until 3 keyframes old
             # (reference :230-233).
             recent_pts[:] = [
-                (p, born) for p, born in recent_pts
-                if not cull_n[p] and mp_valid_n[p] and cur - born < 3
+                (p, b) for p, b in recent_pts
+                if p not in culled and cur - b < 3
             ]
 
-        # --- KeyFrameCulling on local neighbors (one dispatch) ---
+        # --- KeyFrameCulling on local neighbors ---
         # The origin keyframe is never culled (reference
         # src/LocalMapping.cc:683 skips mnId==0); kf_order[0] is the
         # origin since it can never be removed from the map.
         origin = kf_order[0] if kf_order else -1
-        if len(kf_order) > 3 and neighbors:
-            reds = np.asarray(redundancy_all(state, jnp.asarray(nb_arr)))
-            for row, nb in enumerate(neighbors):
-                if nb == origin:
+        if reds_host is not None:
+            for row, nb in enumerate(nb_host):
+                nb = int(nb)
+                if nb < 0 or nb == origin:
                     continue
-                if reds[row] > self.kf_cull_redundancy:
+                if reds_host[row] > self.kf_cull_redundancy:
                     state = mstate.erase_keyframe(state, nb)
                     db = keyframe_db.erase(db, nb)
                     if nb in kf_order:

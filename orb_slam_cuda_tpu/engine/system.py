@@ -299,6 +299,8 @@ class System:
         self.kf_order = [slot]
         self._next_kf_slot = 1
         self.mapper._next_pt_slot = len(sel)
+        self.mapper.mp_valid_host[:] = False
+        self.mapper.note_points_added(pt_slots)
         self.recent_pts = []
         self.ref_kf = slot
         self.last_pose = T0
@@ -519,6 +521,8 @@ class System:
         self._next_kf_slot = 2
         self.recent_pts = [(int(p), 2) for p in pt_slots]
         self.mapper._next_pt_slot = int(pt_slots[-1]) + 1
+        self.mapper.mp_valid_host[:] = False
+        self.mapper.note_points_added(pt_slots)
         self.ref_kf = slot2
         pose2 = np.asarray(st.kf_pose[slot2])
         self.last_pose = pose2
@@ -620,7 +624,10 @@ class System:
         """CreateNewKeyFrame + synchronous local mapping (reference
         src/Tracking.cc:1146-1228 + LocalMapping::Run body)."""
         frame = self.last_frame
-        kf_valid = np.asarray(self.state.kf_valid)
+        # kf_order is the exact set of live keyframes (mapper culls keep
+        # it in sync), so slot allocation needs no device pull.
+        kf_valid = np.zeros(self.cfg.max_keyframes, bool)
+        kf_valid[self.kf_order] = True
         free = np.flatnonzero(~kf_valid)
         if len(free) == 0:
             raise RuntimeError(
@@ -651,7 +658,7 @@ class System:
                 self.state, self.db, slot, self.recent_pts, self.kf_order
             )
         # Keyframe culling may have invalidated the ref.
-        if not bool(np.asarray(self.state.kf_valid[self.ref_kf])):
+        if self.ref_kf not in self.kf_order:
             self.ref_kf = self.kf_order[-1]
 
         if self.loop_closer is not None and len(self.kf_order) > 3:
@@ -673,6 +680,7 @@ class System:
         )
         n_used = int(n_used)
         self.mapper.advance_point_slots(slots, n_used)
+        self.mapper.note_points_added(slots[:n_used])
         born = len(self.kf_order) + 1
         self.recent_pts.extend((int(p), born) for p in slots[:n_used])
 
@@ -735,6 +743,7 @@ class System:
         self.recent_pts = []
         self._next_kf_slot = 0
         self.mapper._next_pt_slot = 0
+        self.mapper.mp_valid_host[:] = False
         self.frames_since_kf = 0
         if self.loop_closer is not None:
             self.loop_closer.consistent_groups = []

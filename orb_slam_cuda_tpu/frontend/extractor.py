@@ -47,6 +47,13 @@ class ExtractorConfig(NamedTuple):
     n_levels: int = 8
     ini_th_fast: float = 20.0
     min_th_fast: float = 7.0
+    # rBRIEF rotation handling: >0 quantizes orientation into this many
+    # bins and samples descriptors through precomputed per-bin one-hot
+    # matmuls on the MXU (the original ORB paper's 12-degree lookup-table
+    # design; 30 bins = 12 deg). 0 = continuous rotation via per-sample
+    # gathers (exact reference arithmetic, src/ORBextractor.cc:195-233,
+    # but gather-bound on TPU).
+    rotation_bins: int = 30
 
     def features_per_level(self):
         """Geometric per-level quota, identical in spirit to the reference
@@ -190,6 +197,102 @@ def _ic_angle(img, ys, xs):
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 
+# --- MXU descriptor path -----------------------------------------------
+# Per-keypoint work (IC-angle moments + rotated-BRIEF sampling) is
+# gather-bound when expressed as image gathers (~20 ns/element on TPU).
+# Instead: extract one 39x39 patch per keypoint (window slices), compute
+# moments as two matvecs, and sample the 512 rotated pattern positions
+# through per-rotation-bin one-hot matrices on the MXU — the original ORB
+# paper's rotation-LUT design (Rublee et al., sec. 4.3: "discretize the
+# angle to increments of 2pi/30 (12 degrees)"), with the LUT realised as
+# a batched matmul instead of per-keypoint table walks.
+
+DESC_PATCH = 39  # covers rotated BRIEF offsets: max pattern radius 18.4
+DESC_C = 19  # patch center; == EDGE_THRESHOLD so slices never clamp
+
+
+def _extract_patches(img, ys, xs):
+    """(N, 39, 39) patches centered on keypoints (window dynamic-slices;
+    keypoints live >= EDGE_THRESHOLD from the border so slices are
+    in-bounds)."""
+
+    def onep(y, x):
+        return jax.lax.dynamic_slice(
+            img, (y - DESC_C, x - DESC_C), (DESC_PATCH, DESC_PATCH)
+        )
+
+    return jax.vmap(onep)(ys, xs)
+
+
+def _angle_moment_weights():
+    """(P*P,) m10/m01 weight vectors over the flattened 39x39 patch,
+    encoding the reference's circular IC patch (src/ORBextractor.cc:
+    164-191) so the moments become two matvecs."""
+    w10 = np.zeros(DESC_PATCH * DESC_PATCH, np.float32)
+    w01 = np.zeros(DESC_PATCH * DESC_PATCH, np.float32)
+    for dy, dx in _IC_OFFSETS:
+        i = (dy + DESC_C) * DESC_PATCH + (dx + DESC_C)
+        w10[i] = dx
+        w01[i] = dy
+    return w10, w01
+
+
+_W10, _W01 = _angle_moment_weights()
+
+
+def _ic_angle_from_patches(patches_flat):
+    """IC-angle in degrees from flattened raw patches (N, 39*39)."""
+    m10 = patches_flat @ jnp.asarray(_W10)
+    m01 = patches_flat @ jnp.asarray(_W01)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def build_rotation_onehot(pattern_np: np.ndarray, nbins: int) -> np.ndarray:
+    """(B, 512, 39*39) bfloat16 one-hot sampling matrices: row s of bin b
+    picks the patch pixel at the pattern point rotated by b*360/B deg with
+    the reference's rounding (row = round(px*sin + py*cos), col =
+    round(px*cos - py*sin), src/ORBextractor.cc:205-207). Rows 0..255 are
+    the pattern's first points, 256..511 the second points."""
+    F = DESC_PATCH * DESC_PATCH
+    out = np.zeros((nbins, 512, F), np.float32)
+    px = np.concatenate([pattern_np[:, 0], pattern_np[:, 2]]).astype(np.float64)
+    py = np.concatenate([pattern_np[:, 1], pattern_np[:, 3]]).astype(np.float64)
+    for b in range(nbins):
+        th = np.radians(b * 360.0 / nbins)
+        a, s = np.cos(th), np.sin(th)
+        r = np.rint(px * s + py * a).astype(np.int64)
+        c = np.rint(px * a - py * s).astype(np.int64)
+        idx = (r + DESC_C) * DESC_PATCH + (c + DESC_C)
+        out[b, np.arange(512), idx] = 1.0
+    return out.astype(jnp.bfloat16)
+
+
+def _rbrief_binned(patches_flat, angle_deg, onehot, nbins: int):
+    """Rotated BRIEF via per-bin one-hot MXU matmuls; packed (N,8) uint32.
+
+    The one-hot pick is exact; values compare at bfloat16 precision,
+    commensurate with the reference comparing uint8-blurred intensities
+    (src/ORBextractor.cc:216-233)."""
+    n = patches_flat.shape[0]
+    step = 360.0 / nbins
+    bins = jnp.mod(jnp.rint(angle_deg / step).astype(jnp.int32), nbins)
+    pb = patches_flat.astype(jnp.bfloat16)
+    acc = jnp.zeros((n, 512), jnp.float32)
+    for b in range(nbins):
+        s = jax.lax.dot_general(
+            pb, onehot[b], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = jnp.where((bins == b)[:, None], s, acc)
+    bits = (acc[:, :256] < acc[:, 256:]).astype(jnp.uint32)
+    shifts = jnp.asarray(
+        [jnp.uint32(1) << jnp.uint32(i) for i in range(32)], jnp.uint32
+    )
+    words = bits.reshape(n, 8, 32) * shifts[None, None, :]
+    return jnp.sum(words, axis=-1, dtype=jnp.uint32)
+
+
 def _rbrief(blurred, ys, xs, angle_deg, pattern):
     """Rotated BRIEF descriptors, packed (N,8) uint32.
 
@@ -233,6 +336,12 @@ class ORBExtractor:
         self.height = height
         self.width = width
         self.pattern = jnp.asarray(load_brief_pattern(), jnp.int32)
+        if config.rotation_bins > 0:
+            self.rot_onehot = jnp.asarray(
+                build_rotation_onehot(load_brief_pattern(), config.rotation_bins)
+            )
+        else:
+            self.rot_onehot = None
         self._extract = jax.jit(functools.partial(self._extract_impl))
 
     def __call__(self, image) -> Features:
@@ -245,31 +354,49 @@ class ORBExtractor:
         quotas = cfg.features_per_level()
         scales = cfg.scale_factors()
 
+        binned = cfg.rotation_bins > 0
         uts, ress, octs, angs, descs, vals = [], [], [], [], [], []
+        praws, pblurs = [], []
         for lvl, (img_l, quota, scale) in enumerate(zip(levels, quotas, scales)):
             s_hi = fast.nms3x3(fast.fast_score(img_l, cfg.ini_th_fast))
             s_lo = fast.nms3x3(fast.fast_score(img_l, cfg.min_th_fast))
             score = fast.two_threshold_cell_select(s_hi, s_lo)
             ys, xs, resp, ok = _select_spatial_topk(score, quota, EDGE_THRESHOLD)
-            ang = _ic_angle(img_l, ys, xs)
             blurred = image_ops.separable_gaussian(img_l, 7, 2.0)
-            desc = _rbrief(blurred, ys, xs, ang, self.pattern)
+            if binned:
+                # Collect patches; angle + descriptors run batched over
+                # all levels after the loop (MXU path).
+                praws.append(_extract_patches(img_l, ys, xs).reshape(quota, -1))
+                pblurs.append(_extract_patches(blurred, ys, xs).reshape(quota, -1))
+            else:
+                ang = _ic_angle(img_l, ys, xs)
+                angs.append(ang)
+                descs.append(_rbrief(blurred, ys, xs, ang, self.pattern))
             # Scale coords back to level 0 (reference scaleArray_kernel,
             # src/CustomNodes.cc:854-908).
             uv = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1) * scale
             uts.append(uv)
             ress.append(resp)
             octs.append(jnp.full((quota,), lvl, jnp.int32))
-            angs.append(ang)
-            descs.append(desc)
             vals.append(ok)
+
+        if binned:
+            raw_flat = jnp.concatenate(praws, axis=0)
+            blur_flat = jnp.concatenate(pblurs, axis=0)
+            angle = _ic_angle_from_patches(raw_flat)
+            desc = _rbrief_binned(
+                blur_flat, angle, self.rot_onehot, cfg.rotation_bins
+            )
+        else:
+            angle = jnp.concatenate(angs, axis=0)
+            desc = jnp.concatenate(descs, axis=0)
 
         return Features(
             uv=jnp.concatenate(uts, axis=0),
             response=jnp.concatenate(ress, axis=0),
             octave=jnp.concatenate(octs, axis=0),
-            angle=jnp.concatenate(angs, axis=0),
-            desc=jnp.concatenate(descs, axis=0),
+            angle=angle,
+            desc=desc,
             valid=jnp.concatenate(vals, axis=0),
         )
 

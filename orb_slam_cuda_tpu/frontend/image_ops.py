@@ -77,14 +77,18 @@ def separable_gaussian(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with BORDER_REFLECT_101, as applied before
     descriptor sampling (reference: src/ORBextractor.cc:1739
     `GaussianBlur(..., Size(7,7), 2, 2, BORDER_REFLECT_101)`)."""
-    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    k = gaussian_kernel_1d(ksize, sigma)  # host constants
     r = ksize // 2
+    h, w = img.shape
     # Reflect-101 padding: edge pixel not duplicated.
     p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # Convolve rows then columns via conv_general_dilated on a (1,1,H,W) view.
-    x = p[None, None, :, :]
-    kh = k[None, None, :, None]
-    kw = k[None, None, None, :]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+    # Static shifted-slice accumulation instead of conv_general_dilated:
+    # a 1-channel conv has no MXU mapping on TPU and lowers poorly,
+    # while 2x7 fused shifted adds are pure VPU work at memory speed.
+    rows = jnp.zeros((h + 2 * r, w), p.dtype)
+    for i in range(ksize):
+        rows = rows + float(k[i]) * jax.lax.slice(p, (0, i), (h + 2 * r, i + w))
+    out = jnp.zeros((h, w), p.dtype)
+    for i in range(ksize):
+        out = out + float(k[i]) * jax.lax.slice(rows, (i, 0), (i + h, w))
+    return out

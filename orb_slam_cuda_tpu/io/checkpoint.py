@@ -79,6 +79,7 @@ def load_into_system(system, path: str, localization_only: bool = True):
     system.state = state
     system.db = db
     system.kf_order = kf_order
+    system.mapper.resync_point_mirror(state)
     system.frame_id = int(extras.get("frame_id", 0)) + 1
     from .. import engine
 

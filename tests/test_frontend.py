@@ -229,3 +229,33 @@ class TestExtractor:
                     close += 1
         assert matches > 30
         assert close / max(matches, 1) > 0.8
+
+
+class TestBinnedDescriptorPath:
+    """MXU rotation-binned rBRIEF (extractor.rotation_bins>0) must agree
+    with the exact continuous-rotation path up to the ORB paper's 12-deg
+    quantization noise (Rublee et al. sec 4.3)."""
+
+    def test_binned_matches_exact(self):
+        rng = np.random.default_rng(3)
+        H, W = 240, 320
+        img = np.zeros((H, W), np.float32)
+        for _ in range(120):
+            y, x = rng.integers(10, H - 40), rng.integers(10, W - 40)
+            img[y:y + rng.integers(5, 25), x:x + rng.integers(5, 25)] += (
+                rng.random() * 120
+            )
+        img = np.clip(img + rng.random((H, W)) * 25, 0, 255).astype(np.uint8)
+        fb = ORBExtractor(ExtractorConfig(n_features=400, rotation_bins=30), H, W)(img)
+        fe = ORBExtractor(ExtractorConfig(n_features=400, rotation_bins=0), H, W)(img)
+        vb = np.asarray(fb.valid)
+        assert (vb == np.asarray(fe.valid)).all()
+        ang_d = np.abs(np.asarray(fb.angle)[vb] - np.asarray(fe.angle)[vb])
+        ang_d = np.minimum(ang_d, 360.0 - ang_d)
+        assert ang_d.max() < 0.01  # angle path is quantization-free
+        db, de = np.asarray(fb.desc)[vb], np.asarray(fe.desc)[vb]
+        ham = np.unpackbits((db ^ de).view(np.uint8), axis=1).sum(1)
+        # 12-deg bins move samples <= r*sin(6deg) ~ 1.9 px; well under
+        # the matcher's TH_LOW=50 budget.
+        assert ham.mean() < 30, ham.mean()
+        assert np.percentile(ham, 95) < 60
