@@ -98,16 +98,19 @@ class LoopCloser:
             db, q, exclude, covis, min_score=min_score
         )
         cand_ids = np.flatnonzero(np.asarray(cand_mask))
-        covis_n = np.asarray(covis)
         if len(cand_ids) == 0:
+            # Common path: one small (K,) pull per keyframe; the (K,K)
+            # covisibility matrix only crosses the link when candidates
+            # exist (tunnel RTT discipline).
             self.consistent_groups = []
             return []
+        covis_rows = np.asarray(covis[jnp.asarray(cand_ids)])
 
         # Consistency chaining (reference :184-245).
         enough: List[int] = []
         new_groups: List[Tuple[set, int]] = []
-        for c in cand_ids:
-            group = set(np.flatnonzero(covis_n[c] > 0).tolist()) | {int(c)}
+        for row, c in enumerate(cand_ids):
+            group = set(np.flatnonzero(covis_rows[row] > 0).tolist()) | {int(c)}
             best_count = 0
             matched_any = False
             for prev_group, count in self.consistent_groups:
