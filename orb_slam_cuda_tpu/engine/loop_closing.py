@@ -132,7 +132,10 @@ class LoopCloser:
         on the corresponding 3D points with bidirectional reprojection
         gating."""
         bip1 = hamming.bipolar(state.kf_desc[kf_slot])
-        mp1 = np.asarray(state.kf_mp[kf_slot])
+        # One batched pull of the current keyframe's rows + sigma table.
+        mp1, oct1 = jax.device_get(
+            (state.kf_mp[kf_slot], state.kf_oct[kf_slot])
+        )
         sig2 = np.asarray(self.cfg.level_sigma2, np.float32)
         for cand in cands:
             bip2 = hamming.bipolar(state.kf_desc[cand])
@@ -149,16 +152,17 @@ class LoopCloser:
                 ratio=0.75, check_rotation=True,
                 f1_has_point=has1, f2_has_point=None,
             )
-            idx = np.asarray(m.idx)
+            # ONE pull per candidate for all host decisions.
+            idx, has2_n, mp2, oct2_row = jax.device_get(
+                (m.idx, has2, mp2_row, state.kf_oct[cand])
+            )
             # Valid correspondences: feature i (with point) of kf matched
             # to feature j with point in cand.
-            has2_n = np.asarray(has2)
             j = np.clip(idx, 0, None)
             pair_ok = (idx >= 0) & (mp1 >= 0) & has2_n[j]
             if pair_ok.sum() < MIN_SIM3_INLIERS:
                 continue
 
-            mp2 = np.asarray(mp2_row)
             p1 = np.clip(mp1, 0, None)
             p2 = mp2[j]
             T1 = state.kf_pose[kf_slot]
@@ -167,8 +171,7 @@ class LoopCloser:
             x2 = se3.transform(T2, state.mp_xyz[jnp.asarray(np.clip(p2, 0, None))])
             uv1 = state.kf_uv[kf_slot]
             uv2 = state.kf_uv[cand][jnp.asarray(j)]
-            oct1 = np.asarray(state.kf_oct[kf_slot])
-            oct2 = np.asarray(state.kf_oct[cand])[j]
+            oct2 = oct2_row[j]
             th1 = 9.210 * sig2[np.clip(oct1, 0, len(sig2) - 1)]
             th2 = 9.210 * sig2[np.clip(oct2, 0, len(sig2) - 1)]
 
@@ -178,9 +181,11 @@ class LoopCloser:
                 jnp.asarray(th1), jnp.asarray(th2),
                 fix_scale=self.fix_scale, min_inliers=MIN_SIM3_INLIERS,
             )
-            if bool(res.ok):
+            # Single pull of the verdict + inlier mask.
+            ok, inl = jax.device_get((res.ok, res.inliers))
+            if bool(ok):
                 S_cm = (res.R, res.t, res.s)  # cand-frame -> current-frame
-                return cand, S_cm, np.asarray(res.inliers)
+                return cand, S_cm, inl
         return None
 
     # ------------------------------------------------------------------
