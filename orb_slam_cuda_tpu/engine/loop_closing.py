@@ -207,8 +207,9 @@ class LoopCloser:
         S_corr_cw = sim3.compose(S_cm, S_mw)
 
         # Propagate to the current covisibility group (reference :492-504)
+        kf_valid = np.asarray(state.kf_valid)  # one pull, filters the group
         group = set(np.flatnonzero(covis[kf_slot] > 0).tolist()) | {kf_slot}
-        group = [g for g in group if bool(np.asarray(state.kf_valid[g]))]
+        group = [g for g in group if kf_valid[g]]
         T_cw_old = state.kf_pose[kf_slot]
         corrected: dict = {}
         for g in group:
