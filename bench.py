@@ -38,6 +38,10 @@ def main():
 
     log("devices:", jax.devices())
 
+    from orb_slam_cuda_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from orb_slam_cuda_tpu.engine import Sensor, System, SystemConfig
     from orb_slam_cuda_tpu.geometry.camera import Camera
     from orb_slam_cuda_tpu.utils import synthetic
@@ -61,6 +65,10 @@ def main():
         camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
         max_keyframes=128, max_points=16384, enable_loop_closing=True,
         max_frames_between_kf=10, min_frames_between_kf=4,
+        # One fused dispatch per frame, scalar readback consumed 3 frames
+        # late: the tunnel round trip overlaps the next dispatches
+        # (SystemConfig.pipeline_lag).
+        pipeline_lag=3,
     )
     slam = System(cfg)
 

@@ -29,6 +29,26 @@ from ..slam_map import MapConfig, MapState, keyframe_db, ops as map_ops, state a
 from ..solvers import bundle_adjust as ba
 
 
+class PendingMapping:
+    """In-flight mapping work for one keyframe: device futures awaiting
+    their single host pull, plus the host context to interpret them.
+    The reference's counterpart is the LocalMapping thread's private
+    working set while Tracking runs concurrently."""
+
+    __slots__ = (
+        "kf_slot", "nb_arr", "n_used_arr", "cull_sel", "reds_dev",
+        "slot_matrix", "probation_ids", "born", "cur",
+        "problem", "result1", "cam_slots", "pt_slots",
+        "aborted", "ba2_done",
+    )
+
+    def __init__(self, **kw):
+        self.aborted = False
+        self.ba2_done = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 class TriangulationResult(NamedTuple):
     xyz: jnp.ndarray  # (N,3) candidate points (world)
     ok: jnp.ndarray  # (N,) bool
@@ -283,8 +303,7 @@ def top_covis_neighbors(state: MapState, kf_slot, nb: int):
     on device so neighbor selection adds no host round trip (reference
     GetBestCovisibilityKeyFrames, src/KeyFrame.cc:169-180)."""
     covis = map_ops.covisibility_matrix(state)[kf_slot]
-    vals, idx = jax.lax.top_k(covis, nb)
-    return jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+    return map_ops.top_covisible(covis, nb)
 
 
 @jax.jit
@@ -598,30 +617,30 @@ class LocalMapper:
         self.advance_point_slots(sel, n)
         return sel
 
-    def process_keyframe(self, state: MapState, db, kf_slot: int,
-                         recent_pts: list, kf_order: list):
-        """Triangulate-fuse-optimize-cull for a newly inserted keyframe.
+    def dispatch_keyframe(self, state: MapState, kf_slot: int,
+                          recent_pts: list, kf_order: list):
+        """Dispatch the whole mapping chain for a new keyframe WITHOUT
+        blocking: triangulation, fusion, point statistics, local BA
+        round 1 (5 LM iterations, reference src/Optimizer.cc:782),
+        probation culling and keyframe-cull redundancies all go to the
+        device as futures. Returns (state, PendingMapping); the host-side
+        bookkeeping happens later in finish_keyframe, and the 10-iteration
+        BA round 2 (reference :833) in run_ba_round2 — the split gives
+        the engine the reference's mbAbortBA cancellation point between
+        rounds (src/LocalMapping.cc:141, src/Optimizer.cc:624-625).
 
-        recent_pts: host-side list of probation point ids
-        (MapPointCulling's mlpRecentAddedMapPoints). kf_order: slot ids in
-        insertion order.
-
-        Latency discipline: every step is dispatched asynchronously and
-        the host pulls ONE batched tuple at the end (neighbor ids, used
-        slot counts, probation culls, keyframe redundancies). Through a
-        high-latency device link this is the difference between ~6 round
-        trips per keyframe and 1."""
+        Slot accounting is conservative: the whole candidate matrix is
+        marked used at dispatch; finish_keyframe frees the rows
+        triangulation did not fill."""
         cam = self.cam
-        # Neighbor selection on device (no pull).
         NB = self.n_tri_nb
         nb_arr = top_covis_neighbors(state, np.int32(kf_slot), NB)
 
-        # --- CreateNewMapPoints over top covisibility neighbors ---
-        # One scanned dispatch for all neighbors; slots for every neighbor
-        # row preallocated from the host mirror.
         MAX_NEW = 256
         born = len(kf_order)
         slot_matrix = self.peek_point_slots(state, NB * MAX_NEW).reshape(NB, MAX_NEW)
+        self.note_points_added(slot_matrix.ravel())
+        self._next_pt_slot = (int(slot_matrix[-1, -1]) + 1) % self.cfg.max_points
         state, n_used_arr = triangulate_and_insert_all(
             state, np.int32(kf_slot), nb_arr,
             np.asarray(slot_matrix, np.int32), cam,
@@ -630,26 +649,21 @@ class LocalMapper:
 
         # --- SearchInNeighbors fusion (both directions, one dispatch) ---
         state = fuse_all(state, np.int32(kf_slot), nb_arr, cam, self.scale_factors)
-
-        # Refresh point statistics after structure changes.
         state = map_ops.update_point_stats(state, self.cfg)
 
-        # --- Local BA ---
+        # --- Local BA round 1 (5 iters, reference Optimizer.cc:782) ---
         problem, cam_slots, pt_slots = gather_local_ba_problem(
             state, kf_slot, cam, self.level_inv_sigma2,
             n_local=self.lba_local, n_fixed=self.lba_fixed,
             n_points=self.lba_points,
         )
-        result = ba.bundle_adjust(problem, cam, lm_iters=8, cg_iters=15)
-        state = scatter_ba_result(state, result, problem, cam_slots, pt_slots)
+        result1 = ba.bundle_adjust(problem, cam, lm_iters=5, cg_iters=15)
+        state = scatter_ba_result(state, result1, problem, cam_slots, pt_slots)
 
         # --- MapPointCulling (probation list) ---
         # recent_pts holds (point_slot, kf_count_at_creation); ages are in
         # keyframe counts, matching the reference's mnCurrentKFid -
-        # mnFirstKFid semantics and immune to slot recycling. The erase is
-        # applied on device from the device mask; the host only pulls the
-        # cull verdicts of its probation ids (bucketed padding so the
-        # gather shape stays compile-stable).
+        # mnFirstKFid semantics and immune to slot recycling.
         cur = len(kf_order)
         probation_ids = np.fromiter(
             (p for p, _ in recent_pts), np.int32, count=len(recent_pts)
@@ -676,23 +690,58 @@ class LocalMapper:
         if len(kf_order) > 3:
             reds_dev = redundancy_all(state, nb_arr)
 
-        # === the ONE host pull for this keyframe ===
-        nb_host, n_used_host, cull_host, reds_host = jax.device_get(
-            (nb_arr, n_used_arr, cull_sel, reds_dev)
+        pending = PendingMapping(
+            kf_slot=kf_slot, nb_arr=nb_arr, n_used_arr=n_used_arr,
+            cull_sel=cull_sel, reds_dev=reds_dev, slot_matrix=slot_matrix,
+            probation_ids=probation_ids, born=born, cur=cur,
+            problem=problem, result1=result1, cam_slots=cam_slots,
+            pt_slots=pt_slots,
+        )
+        return state, pending
+
+    def run_ba_round2(self, state: MapState, pending: "PendingMapping"):
+        """Local BA round 2 (reference src/Optimizer.cc:795-833): drop the
+        round-1 chi2 outliers from the edge set and run 10 more LM
+        iterations. Skipped entirely when `pending.aborted` — the
+        reference's mbAbortBA interruption (a new keyframe supersedes
+        finishing the optimization)."""
+        if pending.aborted or pending.ba2_done:
+            return state
+        pending.ba2_done = True
+        r1 = pending.result1
+        problem2 = pending.problem._replace(
+            cam_pose=r1.cam_pose,
+            xyz=r1.xyz,
+            obs_valid=pending.problem.obs_valid & r1.obs_inlier,
+        )
+        result2 = ba.bundle_adjust(problem2, self.cam, lm_iters=10, cg_iters=15)
+        return scatter_ba_result(
+            state, result2, problem2, pending.cam_slots, pending.pt_slots
         )
 
-        # Bookkeeping from the pulled scalars.
+    def finish_keyframe(self, state: MapState, db, pending: "PendingMapping",
+                        recent_pts: list, kf_order: list,
+                        protected: set = frozenset()):
+        """Consume the dispatched keyframe's ONE host pull and run the
+        bookkeeping tail: probation updates, freeing unused point slots,
+        and KeyFrameCulling decisions."""
+        NB = self.n_tri_nb
+        nb_host, n_used_host, cull_host, reds_host = jax.device_get(
+            (pending.nb_arr, pending.n_used_arr, pending.cull_sel,
+             pending.reds_dev)
+        )
+        slot_matrix = pending.slot_matrix
+        born = pending.born
+        cur = pending.cur
+
         for row in range(NB):
             n_u = int(n_used_host[row])
             recent_pts.extend((int(p), born) for p in slot_matrix[row, :n_u])
-            self.note_points_added(slot_matrix[row, :n_u])
-        used_rows = np.flatnonzero(n_used_host > 0)
-        if len(used_rows):
-            last_row = used_rows[-1]
-            self.advance_point_slots(
-                slot_matrix[last_row], int(n_used_host[last_row])
-            )
+            # Free the unused tail of this row (conservatively marked used
+            # at dispatch).
+            self.note_points_erased(slot_matrix[row, n_u:])
         if cull_host is not None:
+            probation_ids = pending.probation_ids
             culled = set(
                 int(p) for p, dead in zip(probation_ids, cull_host) if dead
             )
@@ -707,12 +756,15 @@ class LocalMapper:
         # --- KeyFrameCulling on local neighbors ---
         # The origin keyframe is never culled (reference
         # src/LocalMapping.cc:683 skips mnId==0); kf_order[0] is the
-        # origin since it can never be removed from the map.
+        # origin since it can never be removed from the map. `protected`
+        # adds loop-edge keyframes (reference SetNotErase/mspLoopEdges:
+        # SetBadFlag refuses while loop edges exist, src/KeyFrame.cc:
+        # 434-460) — culling one would orphan a persisted loop constraint.
         origin = kf_order[0] if kf_order else -1
         if reds_host is not None:
             for row, nb in enumerate(nb_host):
                 nb = int(nb)
-                if nb < 0 or nb == origin:
+                if nb < 0 or nb == origin or nb in protected:
                     continue
                 if reds_host[row] > self.kf_cull_redundancy:
                     state = mstate.erase_keyframe(state, nb)
@@ -721,6 +773,27 @@ class LocalMapper:
                         kf_order.remove(nb)
 
         return state, db
+
+    def process_keyframe(self, state: MapState, db, kf_slot: int,
+                         recent_pts: list, kf_order: list,
+                         protected: set = frozenset()):
+        """Synchronous triangulate-fuse-optimize-cull for one keyframe:
+        dispatch + BA round 2 + finish back-to-back (the engine's async
+        path interleaves these with tracking frames instead — see
+        System._pump_background).
+
+        Latency discipline: every step is dispatched asynchronously and
+        the host pulls ONE batched tuple at the end (neighbor ids, used
+        slot counts, probation culls, keyframe redundancies). Through a
+        high-latency device link this is the difference between ~6 round
+        trips per keyframe and 1."""
+        state, pending = self.dispatch_keyframe(
+            state, kf_slot, recent_pts, kf_order
+        )
+        state = self.run_ba_round2(state, pending)
+        return self.finish_keyframe(
+            state, db, pending, recent_pts, kf_order, protected
+        )
 
 
 @jax.jit

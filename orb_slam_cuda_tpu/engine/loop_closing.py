@@ -26,11 +26,13 @@ from ..matching import search
 from ..ops import hamming
 from ..slam_map import MapConfig, MapState, keyframe_db, ops as map_ops
 from ..solvers import bundle_adjust as ba
-from ..solvers import pose_graph, sim3_solver
+from ..solvers import pose_graph, sim3_opt, sim3_solver
 from . import local_mapping
 
 CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh (LoopClosing.cc:43)
 MIN_SIM3_INLIERS = 20  # reference :383
+MIN_OPT_INLIERS = 20  # reference: OptimizeSim3 result gate (LoopClosing.cc:369)
+MIN_TOTAL_MATCHES = 40  # reference: projection-gate floor (LoopClosing.cc:427)
 COVIS_EDGE_MIN_WEIGHT = 100  # reference Optimizer.cc:1090
 
 
@@ -47,29 +49,254 @@ def _bow_scores_vs_neighbors(db, state: MapState, kf_slot, n_words):
     return q, s, covis, neigh, min_score
 
 
+def _project_points_into_kf(state, pts_xyz, pts_valid, pts_min_d, pts_max_d,
+                            S_cam, cam, scale_factors):
+    """Project world/camera-frame points through a Sim3 into a keyframe
+    image; returns (proj (M,2), pred_octave (M,), gate mask (M,)) with the
+    reference's depth/image/scale-band gates (src/ORBmatcher.cc:1148-1186)."""
+    y = sim3.transform(S_cam, pts_xyz)
+    z_ok = y[:, 2] > 1e-6
+    z = jnp.where(z_ok, y[:, 2], 1.0)
+    u = cam.fx * y[:, 0] / z + cam.cx
+    v = cam.fy * y[:, 1] / z + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    dist = jnp.linalg.norm(y, axis=-1)
+    band = (dist >= 0.8 * pts_min_d) & (dist <= 1.2 * pts_max_d)
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    pred = search.predict_octave(
+        dist, pts_max_d, jnp.log(sf[1]), sf.shape[0]
+    )
+    gate = pts_valid & z_ok & in_img & band
+    return jnp.stack([u, v], axis=-1), pred, gate
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def sim3_search_and_refine(
+    state: MapState, kf1, kf2, R0, t0, s0, prior_feat,
+    cam: Camera, scale_factors, fix_scale: bool = False,
+):
+    """SearchBySim3 + OptimizeSim3 as ONE dispatch.
+
+    SearchBySim3 (reference src/ORBmatcher.cc:1102-1327): project each
+    keyframe's bound map points through the Sim3 estimate into the OTHER
+    keyframe's image, window-match (th=7.5, octaves [pred-1, pred],
+    TH_HIGH, no ratio), and keep mutually-agreeing pairs; features already
+    matched by the RANSAC inliers are skipped. The two per-point loops
+    become two batched projection searches plus a mutual-index check.
+
+    OptimizeSim3 (src/Optimizer.cc:1190-1417) then refines S12 jointly
+    over the combined correspondences (solvers/sim3_opt.py).
+
+    prior_feat: (N,) kf2-feature index matched to each kf1 feature by the
+    Sim3-RANSAC inlier set, or -1.
+    Returns (R, t, s, n_inliers, feat12) where feat12 is the (N,)
+    combined per-kf1-feature match (kf2 feature index or -1) surviving
+    the optimization.
+    """
+    S12 = (R0, t0, s0)
+    S21 = sim3.inverse(S12)
+    T1 = state.kf_pose[kf1]
+    T2 = state.kf_pose[kf2]
+    mp1 = state.kf_mp[kf1]
+    mp2 = state.kf_mp[kf2]
+    p1 = jnp.clip(mp1, 0)
+    p2 = jnp.clip(mp2, 0)
+    has1 = (mp1 >= 0) & state.mp_valid[p1]
+    has2 = (mp2 >= 0) & state.mp_valid[p2]
+    already1 = prior_feat >= 0
+    N = mp1.shape[0]
+    already2 = jnp.zeros((N,), bool).at[jnp.clip(prior_feat, 0)].set(already1)
+
+    sf = jnp.asarray(scale_factors, jnp.float32)
+
+    # Direction 1: kf1 points -> kf2 image (reference :1148-1225).
+    x1c = se3.transform(T1, state.mp_xyz[p1])
+    proj1, pred1, gate1 = _project_points_into_kf(
+        state, x1c, has1 & ~already1,
+        state.mp_min_dist[p1], state.mp_max_dist[p1], S21, cam, sf,
+    )
+    m1 = search.by_projection(
+        proj1, hamming.bipolar(state.mp_desc[p1]), gate1, pred1,
+        state.kf_uv[kf2], state.kf_oct[kf2],
+        jnp.zeros((N,), jnp.float32), hamming.bipolar(state.kf_desc[kf2]),
+        state.kf_feat_valid[kf2],
+        sf, radius=7.5, max_dist=100.0, ratio=1.0,
+        octave_lo_off=-1, octave_hi_off=0, check_rotation=False,
+    )
+    # Direction 2: kf2 points -> kf1 image (reference :1227-1305).
+    x2c = se3.transform(T2, state.mp_xyz[p2])
+    proj2, pred2, gate2 = _project_points_into_kf(
+        state, x2c, has2 & ~already2,
+        state.mp_min_dist[p2], state.mp_max_dist[p2], S12, cam, sf,
+    )
+    m2 = search.by_projection(
+        proj2, hamming.bipolar(state.mp_desc[p2]), gate2, pred2,
+        state.kf_uv[kf1], state.kf_oct[kf1],
+        jnp.zeros((N,), jnp.float32), hamming.bipolar(state.kf_desc[kf1]),
+        state.kf_feat_valid[kf1],
+        sf, radius=7.5, max_dist=100.0, ratio=1.0,
+        octave_lo_off=-1, octave_hi_off=0, check_rotation=False,
+    )
+    # Mutual agreement (reference :1307-1325).
+    j2 = jnp.clip(m1.idx, 0)
+    mutual = (m1.idx >= 0) & (m2.idx[j2] == jnp.arange(N, dtype=jnp.int32))
+    feat12 = jnp.where(already1, prior_feat, jnp.where(mutual, m1.idx, -1))
+
+    # --- OptimizeSim3 over the combined correspondences ---
+    # A pair needs BOTH its own point in kf1 and the matched point in kf2
+    # (reference src/Optimizer.cc:1246-1280).
+    jm = jnp.clip(feat12, 0)
+    q2 = jnp.clip(mp2[jm], 0)
+    pair_ok = (feat12 >= 0) & has1 & has2[jm]
+    x2c_m = se3.transform(T2, state.mp_xyz[q2])
+    inv_sig = 1.0 / jnp.asarray(
+        [1.2 ** (2 * i) for i in range(8)], jnp.float32
+    )
+    oct1 = jnp.clip(state.kf_oct[kf1], 0, 7)
+    oct2 = jnp.clip(state.kf_oct[kf2][jm], 0, 7)
+    res = sim3_opt.optimize_sim3(
+        S12, x1c, x2c_m,
+        state.kf_uv[kf1], state.kf_uv[kf2][jm],
+        inv_sig[oct1], inv_sig[oct2],
+        pair_ok, cam, fix_scale=fix_scale, th2=10.0,
+    )
+    feat_out = jnp.where(pair_ok & res.inliers, feat12, -1)
+    return res.R, res.t, res.s, res.n_inliers, feat_out
+
+
+@jax.jit
+def loop_points_projection_gate(
+    state: MapState, kf_cur, cand, R, t, s, feat_matched, cam, scale_factors,
+):
+    """The final acceptance gate (reference src/LoopClosing.cc:391-440):
+    collect the map points of the loop keyframe's covisibility group,
+    project them through Scw = S_cm ∘ T_mw into the current keyframe
+    (SearchByProjection Scw variant, src/ORBmatcher.cc:290-404, th=10,
+    TH_LOW, view-cos 0.5) and count total matched features.
+
+    Returns (n_total, point_match (N,) point id per current-KF feature).
+    """
+    covis = map_ops.covisibility_matrix(state)
+    loop_kfs = ((covis[cand] >= 15) | (jnp.arange(covis.shape[0]) == cand)) & state.kf_valid
+    pts_mask = map_ops.points_of_keyframes(state, loop_kfs)
+    P = state.mp_xyz.shape[0]
+    M = min(4096, P)
+    pts = jnp.nonzero(pts_mask & state.mp_valid, size=M, fill_value=-1)[0].astype(jnp.int32)
+    pv = pts >= 0
+    pc = jnp.clip(pts, 0)
+
+    # Scw = S_cm ∘ S_mw (reference LoopClosing.cc:372-374).
+    S_cw = sim3.compose((R, t, s), sim3.from_se3(state.kf_pose[cand]))
+    sf = jnp.asarray(scale_factors, jnp.float32)
+
+    # Camera-center distance for the scale band + viewing angle
+    # (reference src/ORBmatcher.cc:330-357: dist/normal use world frame).
+    Rc, tc, sc = S_cw
+    Ow = -(jnp.swapaxes(Rc, -1, -2) @ (tc / sc)[..., None])[..., 0]
+    vec = state.mp_xyz[pc] - Ow[None, :]
+    dist_w = jnp.linalg.norm(vec, axis=-1)
+    view_cos = jnp.sum(vec * state.mp_normal[pc], axis=-1) / jnp.maximum(dist_w, 1e-9)
+
+    y = sim3.transform(S_cw, state.mp_xyz[pc])
+    z_ok = y[:, 2] > 1e-6
+    z = jnp.where(z_ok, y[:, 2], 1.0)
+    u = cam.fx * y[:, 0] / z + cam.cx
+    v = cam.fy * y[:, 1] / z + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    band = (dist_w >= 0.8 * state.mp_min_dist[pc]) & (dist_w <= 1.2 * state.mp_max_dist[pc])
+    pred = search.predict_octave(dist_w, state.mp_max_dist[pc], jnp.log(sf[1]), sf.shape[0])
+
+    # Skip points already matched by the Sim3 stage (spAlreadyFound).
+    mp2 = state.kf_mp[cand]
+    jm = jnp.clip(feat_matched, 0)
+    matched_pts = jnp.where(feat_matched >= 0, mp2[jm], -1)
+    already_pt = jnp.zeros((P,), bool).at[jnp.clip(matched_pts, 0)].set(matched_pts >= 0)
+    q_valid = pv & z_ok & in_img & band & (view_cos > 0.5) & ~already_pt[pc]
+
+    # Features already matched are excluded targets (vpMatched[idx] check).
+    N = mp2.shape[0]
+    feat_taken = jnp.zeros((N,), bool).at[jnp.clip(feat_matched, 0)].set(feat_matched >= 0)
+    m = search.by_projection(
+        jnp.stack([u, v], axis=-1), hamming.bipolar(state.mp_desc[pc]),
+        q_valid, pred,
+        state.kf_uv[kf_cur], state.kf_oct[kf_cur],
+        jnp.zeros((N,), jnp.float32), hamming.bipolar(state.kf_desc[kf_cur]),
+        state.kf_feat_valid[kf_cur],
+        sf, radius=10.0, max_dist=50.0, ratio=1.0,
+        octave_lo_off=-1, octave_hi_off=1, check_rotation=False,
+        t_has_point=feat_taken,
+    )
+    # Combined per-feature point matches: Sim3-stage matches + projections.
+    point_match = jnp.full((N,), -1, jnp.int32)
+    point_match = point_match.at[jnp.clip(m.idx, 0)].set(
+        jnp.where(m.idx >= 0, pts, point_match[jnp.clip(m.idx, 0)])
+    )
+    point_match = jnp.where(feat_matched >= 0, jnp.where(matched_pts >= 0, matched_pts, point_match), point_match)
+    n_total = jnp.sum(point_match >= 0)
+    return n_total.astype(jnp.int32), point_match
+
+
 class LoopCloser:
     def __init__(self, cfg: MapConfig, cam: Camera, vocab, fix_scale: bool = False,
-                 run_global_ba: bool = True):
+                 run_global_ba: bool = True, mesh=None):
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
         self.fix_scale = fix_scale
         self.run_global_ba = run_global_ba
+        # Optional jax.sharding.Mesh: global BA runs observation-sharded
+        # across it (parallel/dist_ba.py) instead of on one device.
+        self.mesh = mesh
+        self.scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
         self.consistent_groups: List[Tuple[set, int]] = []
         self.last_loop_kf_order: int = 0
         self.n_loops_closed = 0
+        # Persisted loop constraints (reference KeyFrame::mspLoopEdges,
+        # src/KeyFrame.cc:556-567): every past loop's (kf_a, kf_b) pair is
+        # re-added to every later essential-graph solve
+        # (src/Optimizer.cc:1040-1056) — without this a second loop
+        # closure forgets the first one's constraint.
+        self.loop_edges: List[Tuple[int, int]] = []
 
     # ------------------------------------------------------------------
     def process(self, state: MapState, db, kf_slot: int, kf_order: List[int]):
-        """DetectLoop → ComputeSim3 → CorrectLoop for one new keyframe."""
-        if len(kf_order) < 10:  # reference: map <10 KFs -> skip (:131)
+        """DetectLoop → ComputeSim3 → CorrectLoop for one new keyframe
+        (synchronous form: dispatch + finish back-to-back; the engine's
+        async path defers the finish — see System._pump_background)."""
+        pending = self.dispatch_detect(state, db, kf_slot, kf_order)
+        if pending is None:
             return state, db
+        return self.finish_detect(state, db, pending, kf_order)
 
+    def dispatch_detect(self, state: MapState, db, kf_slot: int,
+                        kf_order: List[int]):
+        """Dispatch the BoW candidate retrieval for a new keyframe without
+        blocking (the reference's LoopClosing thread polls its queue at
+        5 ms, src/LoopClosing.cc:76-107 — detection always lags keyframe
+        insertion there too). Returns an opaque pending tuple or None when
+        detection is skipped."""
+        if len(kf_order) < 10:  # reference: map <10 KFs -> skip (:131)
+            return None
         # Recent-loop cooldown (reference: mLastLoopKFid+10, :133).
         if len(kf_order) - self.last_loop_kf_order < 10:
-            return state, db
+            return None
+        q, s, covis, neigh, min_score = _bow_scores_vs_neighbors(
+            db, state, kf_slot, self.vocab.n_words
+        )
+        exclude = jnp.zeros_like(db.valid).at[kf_slot].set(True) | neigh
+        cand_mask, _ = keyframe_db.detect_candidates(
+            db, q, exclude, covis, min_score=min_score
+        )
+        return (kf_slot, cand_mask, covis)
 
-        cands = self._detect(state, db, kf_slot)
+    def finish_detect(self, state: MapState, db, pending,
+                      kf_order: List[int]):
+        """Consume a dispatched detection: pull the candidate mask, run
+        consistency chaining, and — on a consistent hit — the full
+        verification funnel + loop correction (synchronously; actual loop
+        closures are rare)."""
+        kf_slot, cand_mask, covis = pending
+        cands = self._consistency_chain(cand_mask, covis)
         if not cands:
             return state, db
 
@@ -79,6 +306,7 @@ class LoopCloser:
         cand_kf, S_cm, inlier_pairs = hit
 
         state = self._correct_loop(state, kf_slot, cand_kf, S_cm, kf_order)
+        self.loop_edges.append((min(kf_slot, cand_kf), max(kf_slot, cand_kf)))
         self.last_loop_kf_order = len(kf_order)
         self.n_loops_closed += 1
         self.consistent_groups = []
@@ -86,10 +314,9 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _detect(self, state: MapState, db, kf_slot: int) -> List[int]:
-        """DetectLoop (reference :122-265): BoW candidates above the
-        neighbor-score floor, then covisibility-consistency chaining over
-        successive keyframes (a candidate group must recur in
-        CONSISTENCY_TH consecutive detections)."""
+        """Synchronous DetectLoop (reference :122-265): BoW candidates
+        above the neighbor-score floor + consistency chaining (dispatch +
+        pull back-to-back; the engine's async path splits them)."""
         q, s, covis, neigh, min_score = _bow_scores_vs_neighbors(
             db, state, kf_slot, self.vocab.n_words
         )
@@ -97,6 +324,15 @@ class LoopCloser:
         cand_mask, _ = keyframe_db.detect_candidates(
             db, q, exclude, covis, min_score=min_score
         )
+        return self._consistency_chain(cand_mask, covis)
+
+    # ------------------------------------------------------------------
+    def _consistency_chain(self, cand_mask, covis) -> List[int]:
+        """DetectLoop's covisibility-consistency chaining (reference
+        :184-245): a candidate group must recur in CONSISTENCY_TH
+        consecutive detections. Pulls the candidate mask (one small
+        transfer); covisibility rows only cross the link when candidates
+        exist."""
         cand_ids = np.flatnonzero(np.asarray(cand_mask))
         if len(cand_ids) == 0:
             # Common path: one small (K,) pull per keyframe; the (K,K)
@@ -183,9 +419,34 @@ class LoopCloser:
             )
             # Single pull of the verdict + inlier mask.
             ok, inl = jax.device_get((res.ok, res.inliers))
-            if bool(ok):
-                S_cm = (res.R, res.t, res.s)  # cand-frame -> current-frame
-                return cand, S_cm, inl
+            if not bool(ok):
+                continue
+
+            # --- Guided refinement (reference LoopClosing.cc:358-369):
+            # SearchBySim3 widens the correspondence set through the
+            # RANSAC estimate, OptimizeSim3 refines jointly; accept at
+            # >=20 surviving inliers. One fused dispatch + one pull.
+            prior_feat = np.where(pair_ok & inl, idx, -1).astype(np.int32)
+            R_r, t_r, s_r, n_in, feat12 = sim3_search_and_refine(
+                state, np.int32(kf_slot), np.int32(cand),
+                res.R, res.t, res.s, jnp.asarray(prior_feat),
+                self.cam, self.scale_factors, fix_scale=self.fix_scale,
+            )
+            if int(n_in) < MIN_OPT_INLIERS:
+                continue
+
+            # --- Projection acceptance gate (reference :391-440): project
+            # the loop group's map points through the refined Scw; demand
+            # >=40 total matches. One dispatch + one pull.
+            n_total, point_match = loop_points_projection_gate(
+                state, np.int32(kf_slot), np.int32(cand),
+                R_r, t_r, s_r, feat12, self.cam, self.scale_factors,
+            )
+            if int(n_total) < MIN_TOTAL_MATCHES:
+                continue
+
+            S_cm = (R_r, t_r, s_r)  # cand-frame -> current-frame
+            return cand, S_cm, point_match
         return None
 
     # ------------------------------------------------------------------
@@ -297,6 +558,14 @@ class LoopCloser:
         for a, b in strong:
             if a < b and valid[a] and valid[b]:
                 pairs.add((int(a), int(b)))
+        # Past loop edges (reference mspLoopEdges re-added every solve,
+        # src/Optimizer.cc:1040-1056): their keyframes are mutually
+        # consistent now, so the pre-correction snapshot IS the constraint
+        # measurement — exactly how the reference measures them from
+        # current poses.
+        for a, b in self.loop_edges:
+            if valid[a] and valid[b]:
+                pairs.add((min(a, b), max(a, b)))
         pairs.add((min(kf_slot, cand), max(kf_slot, cand)))
         edges = sorted(pairs)
         ei = jnp.asarray([a for a, _ in edges], jnp.int32)
@@ -353,11 +622,26 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _global_ba(self, state: MapState, kf_order):
         """Full-map BA (reference GlobalBundleAdjustemnt via the GBA
-        thread, 10 LM iterations, first KF fixed)."""
+        thread, 10 LM iterations, first KF fixed). With a mesh configured
+        the solve is observation-sharded across it — XLA lowers the
+        segment-sums/CG dots to psum over ICI (parallel/dist_ba.py); the
+        single-GPU reference's counterpart is shelling out to the CUDA
+        pba_driver (src/Optimizer.cc:61-73)."""
         problem, cam_slots, pt_slots = gather_global_ba_problem(
             state, kf_order[0], 1.0 / jnp.asarray(self.cfg.level_sigma2),
         )
-        result = ba.bundle_adjust(problem, self.cam, lm_iters=10, cg_iters=20)
+        if self.mesh is not None:
+            from ..parallel import distributed_bundle_adjust
+
+            result = distributed_bundle_adjust(
+                problem, self.cam, self.mesh, lm_iters=10, cg_iters=20
+            )
+            # Replicated mesh outputs -> the map's home device so the
+            # scatter jit sees colocated arguments.
+            dev = jax.devices()[0]
+            result = jax.tree.map(lambda x: jax.device_put(x, dev), result)
+        else:
+            result = ba.bundle_adjust(problem, self.cam, lm_iters=10, cg_iters=20)
         return local_mapping.scatter_ba_result(
             state, result, problem, cam_slots, pt_slots
         )

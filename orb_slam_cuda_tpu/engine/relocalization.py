@@ -87,16 +87,16 @@ def relocalize(
             jnp.where(keep, kf_mp, mp[jnp.clip(m.idx, 0)])
         )
         pose = res.pose
-        n_inl = res.n_inliers
-        if True:
-            # Widen with a projection search from the recovered pose and
-            # refine once more (reference does SearchByProjection with
-            # th=10 after the first optimization, src/Tracking.cc:1520).
-            pose2, mp2, n_inl2, _, _ = tracking.track_local_map(
-                state, frame._replace(mp=mp), pose,
-                state.mp_valid, cam, jnp.asarray(scale_factors), 2.0,
-            )
-            if int(n_inl2) >= MIN_INLIERS_ACCEPT:
-                return pose2, mp2, True
-            return pose, mp, True
+        # Widen with a projection search from the recovered pose and
+        # refine once more (reference does SearchByProjection with
+        # th=10 after the first optimization, src/Tracking.cc:1520).
+        pose2, mp2, n_inl2, _, _ = tracking.track_local_map(
+            state, frame._replace(mp=mp), pose,
+            state.mp_valid, cam, jnp.asarray(scale_factors), 2.0,
+        )
+        # Acceptance gate: the reference only relocalizes on nGood >= 50
+        # (src/Tracking.cc:1585); weaker poses fall through to the next
+        # candidate rather than being returned as tentative successes.
+        if int(n_inl2) >= MIN_INLIERS_ACCEPT:
+            return pose2, mp2, True
     return None, None, False

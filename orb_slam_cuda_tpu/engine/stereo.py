@@ -10,15 +10,18 @@ pass becomes a batched gather of correlation strips.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.camera import Camera
 from ..matching import core
 from ..ops import hamming
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("scale_factors",))
 def match_stereo(
     l_uv, l_oct, l_bip, l_valid,
     r_uv, r_oct, r_bip, r_valid,
@@ -59,12 +62,14 @@ def match_stereo(
     if left_img is not None and right_img is not None:
         # SAD subpixel refinement (reference src/Frame.cc:528-617): slide
         # an 11x11 intensity window (center-value-normalized) over ±5px
-        # around the matched column, parabola-fit the minimum. The
-        # reference runs this on the keypoint's pyramid level; level 0 is
-        # used here for all octaves (dominant population).
+        # around the matched column ON THE KEYPOINT'S PYRAMID LEVEL
+        # (coords scaled by 1/scale[octave], :541-545; the refined column
+        # scales back by scale[octave], :591), parabola-fit the minimum.
+        # Both pyramids are flattened into one buffer so the per-keypoint
+        # level indexing is a single gather, not a per-level branch.
         ur_ref, sad_ok = _sad_subpixel(
             left_img.astype(jnp.float32), right_img.astype(jnp.float32),
-            l_uv, ur,
+            l_uv, l_oct, ur, scale_factors,
         )
         ur = jnp.where(sad_ok, ur_ref, ur)
         ok = ok & sad_ok
@@ -81,28 +86,52 @@ _SAD_W = 5  # half window (11x11), reference Frame.cc:536
 _SAD_L = 5  # search range ±5, reference Frame.cc:545
 
 
-def _sad_subpixel(left, right, l_uv, ur0):
-    """Batched SAD correlation along the row. Returns (ur_refined, ok)."""
+def _sad_subpixel(left, right, l_uv, l_oct, ur0, scale_factors):
+    """Batched per-octave SAD correlation along the rectified row.
+
+    Builds both image pyramids (static shapes), flattens them into one
+    buffer, and gathers each keypoint's 11x11 windows from ITS OWN level
+    via a per-keypoint base offset — the data-parallel form of the
+    reference's per-keypoint level-image loop (src/Frame.cc:528-617).
+    Returns (ur_refined at level-0 scale, ok)."""
+    from ..frontend import image_ops
+
+    n_levels = len(scale_factors)
     h, w = left.shape
+    shapes = image_ops.pyramid_shapes(h, w, n_levels, float(scale_factors[1]) if n_levels > 1 else 1.0)
+    pl_levels = image_ops.build_pyramid(left, n_levels, float(scale_factors[1]) if n_levels > 1 else 1.0)
+    pr_levels = image_ops.build_pyramid(right, n_levels, float(scale_factors[1]) if n_levels > 1 else 1.0)
+    flat_l = jnp.concatenate([p.reshape(-1) for p in pl_levels])
+    flat_r = jnp.concatenate([p.reshape(-1) for p in pr_levels])
+    offs = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in shapes])])[:-1]
+    hs = jnp.asarray([hh for hh, _ in shapes], jnp.int32)
+    ws = jnp.asarray([ww for _, ww in shapes], jnp.int32)
+    offs = jnp.asarray(offs, jnp.int32)
+    sf = jnp.asarray(scale_factors, jnp.float32)
+
     N = l_uv.shape[0]
-    win = 2 * _SAD_W + 1
     dy = jnp.arange(-_SAD_W, _SAD_W + 1)
     dx = jnp.arange(-_SAD_W, _SAD_W + 1)
 
-    yl = jnp.round(l_uv[:, 1]).astype(jnp.int32)
-    xl = jnp.round(l_uv[:, 0]).astype(jnp.int32)
-    xr0 = jnp.round(ur0).astype(jnp.int32)
+    oct_c = jnp.clip(l_oct, 0, n_levels - 1)
+    inv_s = 1.0 / sf[oct_c]
+    yl = jnp.round(l_uv[:, 1] * inv_s).astype(jnp.int32)
+    xl = jnp.round(l_uv[:, 0] * inv_s).astype(jnp.int32)
+    xr0 = jnp.round(ur0 * inv_s).astype(jnp.int32)
+    base = offs[oct_c]
+    h_k = hs[oct_c]
+    w_k = ws[oct_c]
 
-    def patch(img, ys, xs):
-        yy = jnp.clip(ys[:, None, None] + dy[None, :, None], 0, h - 1)
-        xx = jnp.clip(xs[:, None, None] + dx[None, None, :], 0, w - 1)
-        return img.reshape(-1)[yy * w + xx]  # (N,win,win)
+    def patch(flat, ys, xs):
+        yy = jnp.clip(ys[:, None, None] + dy[None, :, None], 0, (h_k - 1)[:, None, None])
+        xx = jnp.clip(xs[:, None, None] + dx[None, None, :], 0, (w_k - 1)[:, None, None])
+        return flat[base[:, None, None] + yy * w_k[:, None, None] + xx]
 
-    pl = patch(left, yl, xl)
+    pl = patch(flat_l, yl, xl)
     pl = pl - pl[:, _SAD_W : _SAD_W + 1, _SAD_W : _SAD_W + 1]
     sads = []
     for off in range(-_SAD_L, _SAD_L + 1):
-        pr = patch(right, yl, xr0 + off)
+        pr = patch(flat_r, yl, xr0 + off)
         pr = pr - pr[:, _SAD_W : _SAD_W + 1, _SAD_W : _SAD_W + 1]
         sads.append(jnp.sum(jnp.abs(pl - pr), axis=(1, 2)))
     sad = jnp.stack(sads, axis=1)  # (N, 2L+1)
@@ -116,7 +145,10 @@ def _sad_subpixel(left, right, l_uv, ur0):
     denom = l_ + r_ - 2.0 * c
     delta = jnp.where(jnp.abs(denom) > 1e-6, (l_ - r_) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -1.0, 1.0)
-    ur_ref = xr0.astype(jnp.float32) + (bi - _SAD_L).astype(jnp.float32) + delta
+    # Back to level-0 scale (reference :591).
+    ur_ref = sf[oct_c] * (
+        xr0.astype(jnp.float32) + (bi - _SAD_L).astype(jnp.float32) + delta
+    )
     return ur_ref, interior
 
 

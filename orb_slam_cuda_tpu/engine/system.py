@@ -72,6 +72,36 @@ class SystemConfig:
     # KeyFrameCulling redundancy threshold (reference hardcodes 0.9,
     # src/LocalMapping.cc:668-736). >1 disables keyframe culling.
     kf_cull_redundancy: float = 0.9
+    # NeedNewKeyFrame thRefRatio override (reference hardcodes 0.9 mono /
+    # 0.75 stereo / 0.4 tiny maps, src/Tracking.cc:1099-1105). None =
+    # those reference values; >1 makes c2 always pass (keyframe cadence
+    # then follows the frame-interval conditions alone — useful for
+    # fixtures that need dense keyframes).
+    kf_ref_ratio: Optional[float] = None
+    # Tracking pipeline depth: with lag L > 0, the fused per-frame step is
+    # dispatched immediately and its scalar readback is consumed L frames
+    # later, hiding the host<->device round trip (the reference hides the
+    # same latency with its tracking/mapping thread split,
+    # src/System.cc:106-124). 0 = fully synchronous (per-call pose
+    # return), the mode unit tests use.
+    pipeline_lag: int = 0
+    # Asynchronous mapping (the reference's LocalMapping/LoopClosing
+    # thread split, src/System.cc:106-124): keyframe mapping work is
+    # dispatched without blocking at insertion; its host tail (BA round 2,
+    # bookkeeping pull, loop detection) is pumped one unit per subsequent
+    # frame, with the reference's mbAbortBA cancellation point between
+    # local-BA rounds (src/LocalMapping.cc:141). False = everything
+    # completes inside the keyframe's own track call.
+    async_mapping: bool = True
+    # Device mesh for the distributed back-end (jax.sharding.Mesh or
+    # None): when set, global BA at loop closure runs observation-sharded
+    # across the mesh (parallel/dist_ba.py) — the BASELINE.json
+    # multi-chip capability the single-GPU reference lacks.
+    mesh: object = None
+    # Pallas fused FAST kernel (ops/pallas_fast.py): None = auto (on for
+    # the TPU backend, where the A/B in PERF.md was measured), True/False
+    # forces.
+    use_pallas_fast: Optional[bool] = None
 
 
 @dataclass
@@ -81,6 +111,9 @@ class TrackStats:
     n_lost: int = 0
     n_keyframes: int = 0
     n_reloc: int = 0
+    n_kf_grows: int = 0  # capacity doublings (keyframes)
+    n_pt_grows: int = 0  # capacity doublings (map points)
+    n_vo_frames: int = 0  # localization-mode visual-odometry frames (mbVO)
 
 
 class System:
@@ -91,6 +124,11 @@ class System:
         cam = config.camera
         assert cam is not None, "SystemConfig.camera required"
         self.cam = cam
+        import jax as _jax_backend
+
+        use_pallas = config.use_pallas_fast
+        if use_pallas is None:
+            use_pallas = _jax_backend.default_backend() == "tpu"
         self.extractor = ORBExtractor(
             ExtractorConfig(
                 n_features=config.n_features,
@@ -98,6 +136,7 @@ class System:
                 n_levels=config.n_levels,
                 ini_th_fast=config.ini_th_fast,
                 min_th_fast=config.min_th_fast,
+                use_pallas_fast=use_pallas,
             ),
             cam.height,
             cam.width,
@@ -136,6 +175,33 @@ class System:
             return build_frame(feats, _cam, _vocab)
 
         self._frame_fn = _jax.jit(_frame_fn)
+
+        # Fused pipelined step: extraction + frame build + the whole
+        # tracking state-machine body + velocity update, one dispatch.
+        _sf = jnp.asarray(self.map_cfg.scale_factors, jnp.float32)
+        _radius = (
+            tracking.MOTION_MODEL_RADIUS_STEREO
+            if config.sensor == Sensor.STEREO
+            else tracking.MOTION_MODEL_RADIUS
+        )
+
+        def _pipe_fn(state, image, carry, min_obs, th_depth):
+            return tracking.fused_pipeline_step(
+                state, image, carry, min_obs,
+                _extract_impl, lambda feats: build_frame(feats, _cam, _vocab),
+                _cam, _sf, _radius, th_depth,
+            )
+
+        self._pipe_fn = _jax.jit(_pipe_fn)
+        from collections import deque
+
+        self._pending = deque()  # (frame_id, timestamp, FrameData, FullStepResult)
+        self._bg = deque()  # deferred mapping/loop work units
+        self._carry = None
+        # Frames dispatched before the latest keyframe insertion tracked
+        # against the pre-keyframe map; their (stale) inlier counts must
+        # not trigger another keyframe (see _retire_one).
+        self._kf_barrier = 0
 
         _scale_factors_c = tuple(self.map_cfg.scale_factors)
 
@@ -179,6 +245,9 @@ class System:
         self.tracking_state = TrackingState.NO_IMAGES_YET
         self.velocity: Optional[np.ndarray] = None
         self.last_pose: Optional[np.ndarray] = None
+        self.n_inliers_local = 0
+        self.close_tracked = 0
+        self.close_untracked = 0
         self.last_frame: Optional[FrameData] = None
         self.init_frame: Optional[FrameData] = None
         self.ref_kf: int = 0
@@ -201,6 +270,7 @@ class System:
             self.loop_closer = LoopCloser(
                 self.map_cfg, cam, self.vocab,
                 fix_scale=config.sensor != Sensor.MONOCULAR,
+                mesh=config.mesh,
             )
         baseline = float(np.asarray(cam.bf)) / float(np.asarray(cam.fx)) if float(np.asarray(cam.bf)) > 0 else 0.0
         self.th_depth = config.th_depth_factor * baseline
@@ -212,12 +282,124 @@ class System:
         (np.ndarray) or None while uninitialized/lost."""
         assert self.cfg.sensor == Sensor.MONOCULAR
         self.timer.set_frame(self.frame_id)
+        if self.cfg.pipeline_lag > 0 and self.tracking_state == TrackingState.OK:
+            with self.timer.stage("timesTracking.csv", "track"):
+                return self._track_pipelined(image, timestamp)
+        self._flush_pipeline()
         with self.timer.stage("times.csv", "orb_extract"):
             frame = self._frame_fn(image)  # numpy in: jit transfers async
         with self.timer.stage("timesTracking.csv", "track", sync=None):
             pose = self._track(frame, timestamp)
         self.frame_id += 1
         return pose
+
+    # ------------------------------------------------------------------
+    # Pipelined tracking: dispatch now, read back L frames later.
+    def _make_carry(self):
+        lf = self.last_frame
+        vel = (
+            self.velocity
+            if self.velocity is not None
+            else np.eye(4, dtype=np.float32)
+        )
+        return tracking.TrackCarry(
+            pose=jnp.asarray(np.asarray(self.last_pose, np.float32)),
+            vel=jnp.asarray(np.asarray(vel, np.float32)),
+            uv=lf.uv, oct=lf.oct, ang=lf.ang, bip=lf.bip, mp=lf.mp,
+            ref_kf=jnp.int32(self.ref_kf),
+        )
+
+    def _track_pipelined(self, image, timestamp):
+        """One fused dispatch per frame; the scalar readback of frame n is
+        consumed at frame n+L, so the round-trip latency of the pull
+        overlaps the next frames' dispatches (see SystemConfig.pipeline_lag).
+        Keyframe decisions consequently run L frames late — the same skew
+        the reference's asynchronous mapping thread introduces
+        (src/LocalMapping.cc:67-135 processes queued keyframes while
+        tracking continues)."""
+        if self._carry is None:
+            self._carry = self._make_carry()
+        min_obs = 3 if len(self.kf_order) > 2 else 2
+        frame, res, carry = self._pipe_fn(
+            self.state, image, self._carry, np.int32(min_obs),
+            np.float32(self.th_depth),
+        )
+        try:
+            res.host_vec.copy_to_host_async()
+        except Exception:
+            pass
+        self.state = self.state._replace(
+            mp_visible=res.mp_visible, mp_found=res.mp_found
+        )
+        self._carry = carry
+        self._pending.append((self.frame_id, timestamp, frame, res))
+        self.frame_id += 1
+        # One unit of deferred mapping/loop work rides each frame slot
+        # (the reference's LocalMapping thread interleaving).
+        self._pump_background()
+        out = None
+        while len(self._pending) > self.cfg.pipeline_lag:
+            out = self._retire_one()
+            if self.tracking_state != TrackingState.OK:
+                break
+        return out
+
+    def _retire_one(self):
+        """Consume one in-flight frame's scalar readback and run the
+        host-side state machine tail for it (trajectory, keyframe policy,
+        lost handling)."""
+        fid, ts, frame, res = self._pending.popleft()
+        vec = np.asarray(res.host_vec)
+        ok = bool(vec[0])
+        self.stats.n_frames += 1
+        self.ref_kf = int(vec[2])
+        self.n_inliers_local = int(vec[1])
+        self.ref_tracked = int(vec[3])
+        self.close_tracked = int(vec[7])
+        self.close_untracked = int(vec[8])
+        if ok:
+            pose = vec[9:25].reshape(4, 4).astype(np.float32).copy()
+            if self.last_pose is not None:
+                self.velocity = pose @ np.linalg.inv(self.last_pose)
+            self.last_pose = pose
+            self.last_frame = frame._replace(mp=res.mp)
+            self.stats.n_tracked += 1
+            self.frames_since_kf += 1
+            self.trajectory.append((ts, pose.copy(), True))
+            if (
+                not self.localization_only
+                and fid >= self._kf_barrier
+                and self._need_new_keyframe(frame)
+            ):
+                self._create_keyframe(frame)
+                self.kf_timestamps[self.ref_kf] = ts
+                # In-flight frames tracked against the pre-keyframe map;
+                # their inlier counts would re-trigger c2 immediately.
+                self._kf_barrier = self.frame_id
+            return pose
+        # Failure discovered L frames late: the frames dispatched after it
+        # chained on the failed pose — drain them as lost (the reference
+        # likewise loses every frame between losing track and successful
+        # relocalization, src/Tracking.cc:379-382). The next incoming
+        # frame goes through the synchronous path and relocalizes.
+        self.trajectory.append((ts, None, False))
+        self.stats.n_lost += 1
+        while self._pending:
+            _, ts2, _, _ = self._pending.popleft()
+            self.trajectory.append((ts2, None, False))
+            self.stats.n_frames += 1
+            self.stats.n_lost += 1
+        self.tracking_state = TrackingState.LOST
+        self.velocity = None
+        self._carry = None
+        if 0 < len(self.kf_order) <= 5 and not self.localization_only:
+            self.reset()
+        return None
+
+    def _flush_pipeline(self):
+        while self._pending:
+            self._retire_one()
+        self._drain_background()
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
         """Reference System::TrackStereo -> GrabImageStereo
@@ -352,9 +534,10 @@ class System:
                 lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
                 np.int32(self.ref_kf), np.int32(min_obs),
                 self.cam, self.scale_factors, radius,
+                np.float32(self.th_depth),
             )
             vec = np.asarray(res.host_vec)  # the frame's ONE device pull
-            scal = vec[:7].astype(np.int64)
+            scal = vec[:9].astype(np.int64)
             ok = bool(scal[0])
             self.state = self.state._replace(
                 mp_visible=res.mp_visible, mp_found=res.mp_found
@@ -362,8 +545,10 @@ class System:
             self.ref_kf = int(scal[2])
             self.n_inliers_local = int(scal[1])
             self.ref_tracked = int(scal[3])
+            self.close_tracked = int(scal[7])
+            self.close_untracked = int(scal[8])
             if ok:
-                pose = vec[7:23].reshape(4, 4).copy()
+                pose = vec[9:25].reshape(4, 4).copy()
                 self.last_frame = frame._replace(mp=res.mp)
         if self.tracking_state == TrackingState.LOST or not ok:
             pose, ok = self._relocalize(frame)
@@ -372,6 +557,19 @@ class System:
                 pose2, ok = self._track_local_map(frame, pose)
                 if ok:
                     pose = pose2
+            elif (
+                self.localization_only
+                and self.cfg.sensor != Sensor.MONOCULAR
+                and self.last_frame is not None
+                and self.last_pose is not None
+            ):
+                # mbVO visual odometry (reference src/Tracking.cc:383-470):
+                # relocalization failed but the last frame carries depth —
+                # track frame-to-frame on its temporal 3D points so
+                # localization-only mode survives mapless regions.
+                pose, ok = self._track_visual_odometry(frame)
+                if ok:
+                    self.stats.n_vo_frames += 1
 
         if ok:
             self.tracking_state = TrackingState.OK
@@ -400,6 +598,10 @@ class System:
         self.trajectory.append(
             (timestamp, pose.copy() if ok else None, bool(ok))
         )
+        # Any synchronous track invalidates the device-side recurrence;
+        # the next pipelined dispatch rebases from host state.
+        self._carry = None
+        self._pump_background()
         return pose if ok else None
 
     # ------------------------------------------------------------------
@@ -533,35 +735,23 @@ class System:
         self.stats.n_keyframes = 2
         return pose2
 
-    # ------------------------------------------------------------------
-    def _track_from_last(self, frame: FrameData):
+    def _track_visual_odometry(self, frame: FrameData):
+        """Frame-to-frame VO against the last frame's depth points
+        (reference mbVO, src/Tracking.cc:383-470)."""
         lf = self.last_frame
-        if self.velocity is not None:
-            pose_pred = jnp.asarray(self.velocity @ self.last_pose)
-        else:
-            pose_pred = jnp.asarray(self.last_pose)
-        radius = (
-            tracking.MOTION_MODEL_RADIUS_STEREO
-            if self.cfg.sensor == Sensor.STEREO
-            else tracking.MOTION_MODEL_RADIUS
+        vel = self.velocity if self.velocity is not None else np.eye(4, dtype=np.float32)
+        pose_pred = (vel @ self.last_pose).astype(np.float32)
+        pose, n_m, n_i = tracking.track_vo_last_frame(
+            frame, lf.uv, lf.oct, lf.ang, lf.bip, lf.depth, lf.valid,
+            self.last_pose.astype(np.float32), pose_pred,
+            self.cam, self.scale_factors,
+            tracking.MOTION_MODEL_RADIUS_STEREO,
         )
-        pose, mp, n_matches, n_inl = tracking.track_motion_model(
-            self.state, frame, pose_pred,
-            lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
-            self.cam, self.scale_factors, radius,
-        )
-        if int(n_matches) >= tracking.MIN_MATCHES_MOTION and int(n_inl) >= tracking.MIN_INLIERS_TRACK:
-            self.last_frame = frame  # bindings set below by caller
-            frame_mp = mp
-            self.last_frame = frame._replace(mp=frame_mp)
-            return np.asarray(pose), True
-
-        # Fallback: reference keyframe tracking (reference Tracking.cc:352).
-        pose, mp, n_matches, n_inl = tracking.track_reference_kf(
-            self.state, frame, jnp.asarray(self.last_pose), self.ref_kf, self.cam
-        )
-        if int(n_matches) >= tracking.MIN_MATCHES_REF_KF and int(n_inl) >= tracking.MIN_INLIERS_TRACK:
-            self.last_frame = frame._replace(mp=mp)
+        n_m, n_i = int(n_m), int(n_i)
+        if n_m >= tracking.MIN_MATCHES_MOTION and n_i >= tracking.MIN_INLIERS_TRACK:
+            self.last_frame = frame._replace(
+                mp=jnp.full((frame.capacity,), -1, jnp.int32)
+            )
             return np.asarray(pose), True
         return None, False
 
@@ -602,10 +792,61 @@ class System:
         return np.asarray(pose2), False
 
     # ------------------------------------------------------------------
+    # Background work queue: deferred mapping/loop units, one pumped per
+    # frame — the TPU-native counterpart of the reference's LocalMapping/
+    # LoopClosing threads interleaving with Tracking.
+    def _pump_background(self, budget: int = 1):
+        while budget > 0 and self._bg:
+            self._run_bg_unit(self._bg.popleft())
+            budget -= 1
+
+    def _drain_background(self):
+        while self._bg:
+            self._run_bg_unit(self._bg.popleft())
+
+    def _abort_pending_ba(self):
+        """mbAbortBA (reference src/LocalMapping.cc:141 +
+        src/Optimizer.cc:624-625): a new keyframe interrupts the pending
+        local BA's second round; its round-1 result stands."""
+        for unit in self._bg:
+            if unit[0] == "lba2":
+                unit[1].aborted = True
+
+    def _run_bg_unit(self, unit):
+        kind = unit[0]
+        if kind == "lba2":
+            self.state = self.mapper.run_ba_round2(self.state, unit[1])
+        elif kind == "map_finish":
+            _, pending, protected = unit
+            with self.timer.stage("timesMapping.csv", "local_mapping_finish"):
+                self.state, self.db = self.mapper.finish_keyframe(
+                    self.state, self.db, pending, self.recent_pts,
+                    self.kf_order, protected,
+                )
+            if self.ref_kf not in self.kf_order:
+                self.ref_kf = self.kf_order[-1]
+        elif kind == "loop_detect":
+            p = self.loop_closer.dispatch_detect(
+                self.state, self.db, unit[1], self.kf_order
+            )
+            if p is not None:
+                self._bg.append(("loop_finish", p))
+        elif kind == "loop_finish":
+            with self.timer.stage("timesMapping.csv", "loop_closing"):
+                self.state, self.db = self.loop_closer.finish_detect(
+                    self.state, self.db, unit[1], self.kf_order
+                )
+
+    # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: FrameData) -> bool:
-        """Reference NeedNewKeyFrame (src/Tracking.cc:1057-1145),
-        simplified to the dominant mono conditions: enough frames since
-        the last KF or tracking weakening vs the reference keyframe."""
+        """Reference NeedNewKeyFrame (src/Tracking.cc:1057-1145), full
+        condition set: c1a (max interval), c1b (min interval AND mapper
+        idle), c1c (stereo/RGBD tracking weakness or close-point
+        depletion), gated by c2 (weakening vs reference KF, >15 inliers);
+        when the mapper is busy the pending local BA is interrupted
+        (mbAbortBA) and only stereo/RGBD insert immediately (the
+        reference checks its queue <3; this engine's queue is at most one
+        keyframe deep)."""
         if len(self.kf_order) == 0:
             return False
         ref_tracked = getattr(self, "ref_tracked", None)
@@ -615,14 +856,94 @@ class System:
                 tracking.count_ref_tracked(self.state, self.ref_kf, min_obs)
             )
         inliers = self.n_inliers_local
+        mono = self.cfg.sensor == Sensor.MONOCULAR
+        idle = len(self._bg) == 0
+
+        # bNeedToInsertClose (reference :1081-1097).
+        need_close = (not mono) and (
+            self.close_tracked < 100 and self.close_untracked > 70
+        )
+        # thRefRatio (reference :1099-1105): 0.75, 0.4 for tiny maps,
+        # 0.9 monocular.
+        th_ref = self.cfg.kf_ref_ratio
+        if th_ref is None:
+            th_ref = 0.9 if mono else (0.4 if len(self.kf_order) < 2 else 0.75)
+
         c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
-        c1b = self.frames_since_kf >= self.cfg.min_frames_between_kf
-        c2 = (inliers < ref_tracked * 0.9) and inliers > 15
-        return (c1a or (c1b and c2)) and inliers > 15
+        c1b = (
+            self.frames_since_kf >= self.cfg.min_frames_between_kf and idle
+        )
+        c1c = (not mono) and (
+            inliers < ref_tracked * 0.25 or need_close
+        )
+        # kf_ref_ratio > 1 = pure-cadence mode (c2's weakness term always
+        # passes; the interval conditions alone set the rhythm).
+        weak = th_ref > 1.0 or inliers < ref_tracked * th_ref
+        c2 = (weak or need_close) and inliers > 15
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
+            return True
+        # Mapper busy: interrupt BA (reference :1120-1139); stereo/RGBD
+        # may still insert (queue depth here is <=1 < 3), mono waits.
+        self._abort_pending_ba()
+        return not mono
+
+    def _grow_keyframe_capacity(self):
+        """Double keyframe capacity (SURVEY §7 hard part (b)): pads every
+        K-shaped map/db array; the jitted programs recompile once for the
+        new shape and the cost amortizes over the next K insertions.
+        Values in flight (slot indices, scalar vectors) stay valid, so the
+        tracking pipeline does not need to be flushed."""
+        new_K = self.state.kf_valid.shape[0] * 2
+        self.state = mstate.grow_keyframes(self.state, new_K)
+        self.db = keyframe_db.grow(self.db, new_K)
+        self.cfg.max_keyframes = new_K
+        self.map_cfg = self.map_cfg._replace(max_keyframes=new_K)
+        self.mapper.cfg = self.map_cfg
+        if self.loop_closer is not None:
+            self.loop_closer.cfg = self.map_cfg
+        self.stats.n_kf_grows += 1
+
+    def _grow_point_capacity(self):
+        new_P = self.state.mp_valid.shape[0] * 2
+        self.state = mstate.grow_points(self.state, new_P)
+        self.cfg.max_points = new_P
+        self.map_cfg = self.map_cfg._replace(max_points=new_P)
+        self.mapper.cfg = self.map_cfg
+        self.mapper.mp_valid_host = np.concatenate(
+            [self.mapper.mp_valid_host,
+             np.zeros(new_P - len(self.mapper.mp_valid_host), bool)]
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.cfg = self.map_cfg
+        self.stats.n_pt_grows += 1
+
+    def _ensure_point_headroom(self):
+        """Grow point capacity when the mapper's next keyframe could
+        exhaust the free pool (its triangulation pass hands out
+        n_tri_nb*256 candidate slots)."""
+        need = self.mapper.n_tri_nb * 256 + 1024
+        free = int(np.sum(~self.mapper.mp_valid_host))
+        if free < need:
+            # The host mirror is conservative; reconcile before paying
+            # for a growth.
+            self.mapper.resync_point_mirror(self.state)
+            free = int(np.sum(~self.mapper.mp_valid_host))
+        while free < need:
+            self._grow_point_capacity()
+            free = int(np.sum(~self.mapper.mp_valid_host))
 
     def _create_keyframe(self, frame: FrameData):
-        """CreateNewKeyFrame + synchronous local mapping (reference
-        src/Tracking.cc:1146-1228 + LocalMapping::Run body)."""
+        """CreateNewKeyFrame + local mapping (reference
+        src/Tracking.cc:1146-1228 + LocalMapping::Run body). With
+        async_mapping the mapping chain is dispatched here and its host
+        tail rides the background queue; a preceding keyframe's pending
+        BA round 2 is aborted first (mbAbortBA) and its remaining units
+        drained — the reference equivalently processes queued keyframes
+        strictly in order (src/LocalMapping.cc:153)."""
+        self._abort_pending_ba()
+        self._drain_background()
         frame = self.last_frame
         # kf_order is the exact set of live keyframes (mapper culls keep
         # it in sync), so slot allocation needs no device pull.
@@ -630,19 +951,27 @@ class System:
         kf_valid[self.kf_order] = True
         free = np.flatnonzero(~kf_valid)
         if len(free) == 0:
-            raise RuntimeError(
-                f"keyframe capacity exhausted ({self.cfg.max_keyframes})"
-            )
+            self._grow_keyframe_capacity()
+            kf_valid = np.zeros(self.cfg.max_keyframes, bool)
+            kf_valid[self.kf_order] = True
+            free = np.flatnonzero(~kf_valid)
+        self._ensure_point_headroom()
         # Rotating allocation: avoid immediately recycling culled slots
         # (stale mp_first_kf/mp_ref_kf references must age out first).
         pos = np.searchsorted(free, self._next_kf_slot)
         free = np.concatenate([free[pos:], free[:pos]])
         slot = int(free[0])
         self._next_kf_slot = (slot + 1) % self.cfg.max_keyframes
+        # In pipelined mode the retired frame's bindings were computed
+        # against the map as of its dispatch, L frames ago; intervening
+        # mapping cycles may have culled/merged those points. Stale slots
+        # must not enter the observation table (local BA would constrain
+        # whatever point now occupies the slot).
+        mp_clean = map_ops.sanitize_bindings(self.state, frame.mp)
         self.state = mstate.insert_keyframe(
             self.state, slot, jnp.asarray(self.last_pose), self.frame_id,
             frame.uv, frame.right, frame.depth, frame.oct, frame.ang,
-            frame.desc, frame.valid, frame.word, frame.node, frame.mp,
+            frame.desc, frame.valid, frame.word, frame.node, mp_clean,
         )
         if self.cfg.sensor != Sensor.MONOCULAR:
             self._create_depth_points(slot)
@@ -653,9 +982,27 @@ class System:
         self.frames_since_kf = 0
         self.stats.n_keyframes += 1
 
+        protected = (
+            {k for e in self.loop_closer.loop_edges for k in e}
+            if self.loop_closer is not None
+            else set()
+        )
+        if self.cfg.async_mapping:
+            # Dispatch-only: device work queues behind tracking; the host
+            # tail rides the background queue, one unit per frame.
+            with self.timer.stage("timesMapping.csv", "local_mapping"):
+                self.state, pending = self.mapper.dispatch_keyframe(
+                    self.state, slot, self.recent_pts, self.kf_order
+                )
+            self._bg.append(("lba2", pending))
+            self._bg.append(("map_finish", pending, protected))
+            if self.loop_closer is not None and len(self.kf_order) > 3:
+                self._bg.append(("loop_detect", slot))
+            return
         with self.timer.stage("timesMapping.csv", "local_mapping"):
             self.state, self.db = self.mapper.process_keyframe(
-                self.state, self.db, slot, self.recent_pts, self.kf_order
+                self.state, self.db, slot, self.recent_pts, self.kf_order,
+                protected=protected,
             )
         # Keyframe culling may have invalidated the ref.
         if self.ref_kf not in self.kf_order:
@@ -688,6 +1035,7 @@ class System:
     def get_trajectory(self):
         """[(timestamp, Tcw or None, ok)] for export (reference
         SaveTrajectoryTUM/KITTI source data, src/System.cc:361-511)."""
+        self._flush_pipeline()
         return self.trajectory
 
     def tracked_ratio(self):
@@ -708,6 +1056,7 @@ class System:
     def get_status(self) -> dict:
         """Health snapshot (the observability counterpart of the
         reference's ROS status topic + shutdown printouts)."""
+        self._flush_pipeline()
         return {
             "state": self.tracking_state.name,
             "frames": self.stats.n_frames,
@@ -726,11 +1075,16 @@ class System:
         ActivateLocalizationMode/DeactivateLocalizationMode,
         include/System.h:83-85 + src/System.cc:265-297): tracking and
         relocalization continue, mapping and loop closing stop."""
+        self._flush_pipeline()
         self.localization_only = enabled
 
     def reset(self):
         """Full system reset (reference System::Reset -> Tracking::Reset,
         src/Tracking.cc:1602-1638: clear map, database, state machine)."""
+        self._pending.clear()  # in-flight frames reference the dying map
+        self._bg.clear()
+        self._carry = None
+        self._kf_barrier = 0
         self.state = mstate.empty(self.map_cfg)
         self.db = keyframe_db.empty(self.cfg.max_keyframes, self.cfg.n_features)
         self.tracking_state = TrackingState.NO_IMAGES_YET
@@ -748,20 +1102,24 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.consistent_groups = []
             self.loop_closer.last_loop_kf_order = 0
+            self.loop_closer.loop_edges = []
 
     def save_trajectory_tum(self, path: str):
         from ..io import trajectory as traj_io
 
+        self._flush_pipeline()
         traj_io.save_trajectory_tum(self.trajectory, path)
 
     def save_trajectory_kitti(self, path: str):
         from ..io import trajectory as traj_io
 
+        self._flush_pipeline()
         traj_io.save_trajectory_kitti(self.trajectory, path)
 
     def save_keyframe_trajectory_tum(self, path: str):
         from ..io import trajectory as traj_io
 
+        self._flush_pipeline()
         traj_io.save_keyframe_trajectory_tum(
             self.state, self.kf_order, self.kf_timestamps, path
         )
@@ -769,6 +1127,7 @@ class System:
     def save_map(self, path: str):
         from ..io import checkpoint
 
+        self._flush_pipeline()
         checkpoint.save_system(self, path)
 
     def load_map(self, path: str, localization_only: bool = True):

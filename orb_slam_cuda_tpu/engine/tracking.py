@@ -35,10 +35,24 @@ MIN_MATCHES_REF_KF = 15  # :849
 MIN_INLIERS_LOCAL = 30  # :1049
 
 
-class TrackStepResult(NamedTuple):
-    pose: jnp.ndarray
-    mp: jnp.ndarray  # (N,) refreshed bindings (outliers unbound)
-    n_inliers: jnp.ndarray
+class TrackCarry(NamedTuple):
+    """Device-resident tracking recurrence: everything frame n+1's fused
+    step needs from frame n, kept on device so the steady-state tracking
+    chain crosses the host boundary only at the (lagged) scalar readback.
+    `vel` is the constant-velocity model Tcw_n @ Twc_{n-1} (reference
+    mVelocity, src/Tracking.cc:556-561); identity when unknown — the
+    motion-model search then starts at the last pose and the fused step's
+    widen/fallback ladder recovers, matching the reference's
+    empty-mVelocity -> TrackReferenceKeyFrame route."""
+
+    pose: jnp.ndarray  # (4,4) Tcw of the last tracked frame
+    vel: jnp.ndarray  # (4,4) constant-velocity model
+    uv: jnp.ndarray  # (N,2) last frame features
+    oct: jnp.ndarray
+    ang: jnp.ndarray
+    bip: jnp.ndarray
+    mp: jnp.ndarray  # (N,) last frame map-point bindings
+    ref_kf: jnp.ndarray  # () int32
 
 
 @jax.jit
@@ -131,6 +145,66 @@ def _optimize_and_prune(state, frame, pose0, mp, cam):
     )
     mp_out = jnp.where(res.inliers, mp, -1)
     return res.pose, mp_out, res.n_inliers
+
+
+@jax.jit
+def track_vo_last_frame(
+    frame: FrameData,
+    last_uv,
+    last_oct,
+    last_ang,
+    last_bip,
+    last_depth,
+    last_valid,
+    pose_last,
+    pose_pred,
+    cam: Camera,
+    scale_factors,
+    radius,
+):
+    """Localization-mode visual odometry (the reference's mbVO path,
+    src/Tracking.cc:383-470 + UpdateLastFrame's temporal points
+    :911-941): when the map has drifted out of view, track frame-to-frame
+    against 3D points backprojected from the LAST frame's own depth —
+    no map involvement. Returns (pose, n_matches, n_inliers).
+
+    Mono frames carry no depth (last_depth < 0 everywhere), so this path
+    is inert for them — matching the reference, whose VO points exist
+    only for stereo/RGBD (:917)."""
+    from ..geometry import camera as cam_mod
+
+    q_valid = last_valid & (last_depth > 0)
+    Twc = se3.inverse(pose_last)
+    Xc_last = cam_mod.backproject(cam, last_uv, jnp.maximum(last_depth, 1e-6))
+    Xw = se3.transform(Twc, Xc_last)
+    Xc = se3.transform(pose_pred, Xw)
+    proj = cam_mod.project(cam, Xc)
+    q_valid = q_valid & (Xc[:, 2] > 0)
+
+    m = search.by_projection(
+        proj, last_bip, q_valid, last_oct,
+        frame.uv, frame.oct, frame.ang, frame.bip, frame.valid,
+        scale_factors, radius=radius,
+        q_ang=last_ang,
+        max_dist=100.0, ratio=0.9, check_rotation=True,
+    )
+    ok = m.idx >= 0
+    n_matches = jnp.sum(ok)
+    # Pose-only LM on the VO correspondences.
+    n = frame.capacity
+    Xw_f = jnp.zeros((n, 3), jnp.float32)
+    bound = jnp.zeros((n,), bool)
+    j = jnp.clip(m.idx, 0)
+    Xw_f = Xw_f.at[j].set(jnp.where(ok[:, None], Xw, Xw_f[j]))
+    bound = bound.at[j].set(ok | bound[j])
+    inv_sigma2 = 1.0 / jnp.asarray(
+        [1.2 ** (2 * i) for i in range(8)], jnp.float32
+    )[jnp.clip(frame.oct, 0, 7)]
+    res = pose_opt.optimize_pose(
+        pose_pred, Xw_f, frame.uv, frame.right, inv_sigma2,
+        bound & frame.valid, cam,
+    )
+    return res.pose, n_matches, res.n_inliers
 
 
 @functools.partial(jax.jit, static_argnames=("max_local_kfs",))
@@ -237,12 +311,13 @@ def track_local_map(
 
 class FullStepResult(NamedTuple):
     """Output of the fused per-frame step. `host_vec` is the ONE array
-    the host pulls per frame — float32 (23,): the 7 state-machine
+    the host pulls per frame — float32 (25,): the 9 state-machine
     scalars [track_ok, n_inliers_local, ref_kf, ref_tracked,
-    n_matches_mm, n_inl_mm, used_fallback] followed by the 4x4 pose
-    (row-major). Through a high-latency link every device->host
-    transfer costs a round trip, so the scalars and the pose ride one
-    transfer. `scalars`/`pose` stay on device for chaining."""
+    n_matches_mm, n_inl_mm, used_fallback, n_tracked_close,
+    n_nontracked_close] followed by the 4x4 pose (row-major). Through a
+    high-latency link every device->host transfer costs a round trip,
+    so the scalars and the pose ride one transfer. `scalars`/`pose`
+    stay on device for chaining."""
 
     pose: jnp.ndarray
     mp: jnp.ndarray
@@ -264,6 +339,7 @@ def full_track_step(
     cam: Camera,
     scale_factors,
     radius_mm,
+    th_depth=jnp.float32(0.0),
 ):
     """The entire per-frame tracking pipeline as ONE device dispatch.
 
@@ -276,6 +352,18 @@ def full_track_step(
     state machine body compiles into a single XLA program and the host
     reads back one small scalar vector per frame.
     """
+    # CheckReplacedInLastFrame analog (reference src/Tracking.cc:330-345
+    # plus the isBad() checks sprinkled through Track): the previous
+    # frame's bindings may reference points the mapper has since culled
+    # or merged away — in pipelined mode the carry is L frames stale
+    # relative to `state`. Bindings to invalid slots must be dropped
+    # before matching, or a culled-and-reused slot silently aliases a
+    # different 3D point and corrupts the pose (and, at keyframe
+    # creation, the map).
+    last_mp = jnp.where(
+        (last_mp >= 0) & state.mp_valid[jnp.clip(last_mp, 0)], last_mp, -1
+    )
+
     # --- 1. motion model (with the reference's doubled-window retry when
     # matches run short, src/Tracking.cc:972-976) ---
     pose1, mp1, n_m1, n_i1 = track_motion_model.__wrapped__(
@@ -318,6 +406,10 @@ def full_track_step(
         state, frame._replace(mp=mp2), pose2, pt_mask, cam,
         scale_factors, 1.0,
     )
+    # Re-project R onto SO(3): in pipelined mode this pose chains
+    # device-side through `vel @ pose` products whose rotation defect
+    # otherwise compounds exponentially (see se3.orthonormalize).
+    pose3 = se3.orthonormalize(pose3)
     ok3 = ok2 & (n_i3 >= MIN_INLIERS_LOCAL)
 
     # --- 4. visibility statistics (IncreaseVisible/IncreaseFound) ---
@@ -328,8 +420,14 @@ def full_track_step(
     )
     mp_found = state.mp_found + found_add
 
-    # --- 5. keyframe-policy counter ---
+    # --- 5. keyframe-policy counters ---
     ref_tracked = count_ref_tracked.__wrapped__(state, ref_kf_new, min_obs)
+    # Stereo/RGBD close-point census for bNeedToInsertClose (reference
+    # src/Tracking.cc:1081-1097): close features (0 < depth < th_depth)
+    # split into tracked (bound to an inlier map point) vs untracked.
+    close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth)
+    n_close_tracked = jnp.sum(close & (mp3 >= 0)).astype(jnp.int32)
+    n_close_untracked = jnp.sum(close & (mp3 < 0)).astype(jnp.int32)
 
     scalars = jnp.stack(
         [
@@ -340,6 +438,8 @@ def full_track_step(
             n_m1.astype(jnp.int32),
             n_i1.astype(jnp.int32),
             used_fallback,
+            n_close_tracked,
+            n_close_untracked,
         ]
     )
     host_vec = jnp.concatenate(
@@ -349,6 +449,47 @@ def full_track_step(
         pose=pose3, mp=mp3, mp_visible=mp_visible, mp_found=mp_found,
         scalars=scalars, host_vec=host_vec,
     )
+
+
+def fused_pipeline_step(
+    state: MapState,
+    image,
+    carry: TrackCarry,
+    min_obs,
+    extract_impl,
+    build_frame_fn,
+    cam: Camera,
+    scale_factors,
+    radius_mm,
+    th_depth=jnp.float32(0.0),
+):
+    """Extraction + frame build + full tracking step + velocity update as
+    ONE XLA program (jitted by the System over closures for the extractor
+    and vocabulary). This is the pipelined hot path: the host dispatches
+    one of these per frame and reads the scalar vector L frames later
+    (engine/system.py), so the critical path per frame is the image push
+    plus amortized round-trip latency — the TPU counterpart of the
+    reference's tracking-thread/mapping-thread overlap
+    (src/System.cc:106-124)."""
+    feats = extract_impl(image)
+    frame = build_frame_fn(feats)
+    pose_pred = carry.vel @ carry.pose
+    res = full_track_step.__wrapped__(
+        state, frame, pose_pred, carry.pose,
+        carry.uv, carry.oct, carry.ang, carry.bip, carry.mp,
+        carry.ref_kf, min_obs, cam, scale_factors, radius_mm, th_depth,
+    )
+    ok = res.scalars[0] > 0
+    vel_new = jnp.where(
+        ok, res.pose @ se3.inverse(carry.pose), jnp.eye(4, dtype=jnp.float32)
+    )
+    pose_new = jnp.where(ok, res.pose, carry.pose)
+    carry_new = TrackCarry(
+        pose=pose_new, vel=vel_new,
+        uv=frame.uv, oct=frame.oct, ang=frame.ang, bip=frame.bip,
+        mp=res.mp, ref_kf=res.scalars[2],
+    )
+    return frame, res, carry_new
 
 
 @jax.jit

@@ -54,6 +54,12 @@ class ExtractorConfig(NamedTuple):
     # gathers (exact reference arithmetic, src/ORBextractor.cc:195-233,
     # but gather-bound on TPU).
     rotation_bins: int = 30
+    # FAST corner scoring backend: True routes through the fused Pallas
+    # two-threshold kernel (ops/pallas_fast.py — one VMEM pass emits both
+    # score maps; the XLA path computes the 16 shifted views per
+    # threshold). Only valid on the TPU backend (the engine auto-selects;
+    # tests exercise the kernel in interpret mode).
+    use_pallas_fast: bool = False
 
     def features_per_level(self):
         """Geometric per-level quota, identical in spirit to the reference
@@ -358,8 +364,17 @@ class ORBExtractor:
         uts, ress, octs, angs, descs, vals = [], [], [], [], [], []
         praws, pblurs = [], []
         for lvl, (img_l, quota, scale) in enumerate(zip(levels, quotas, scales)):
-            s_hi = fast.nms3x3(fast.fast_score(img_l, cfg.ini_th_fast))
-            s_lo = fast.nms3x3(fast.fast_score(img_l, cfg.min_th_fast))
+            if cfg.use_pallas_fast:
+                from ..ops.pallas_fast import fast_score_pallas
+
+                raw_hi, raw_lo = fast_score_pallas(
+                    img_l, cfg.ini_th_fast, cfg.min_th_fast
+                )
+                s_hi = fast.nms3x3(raw_hi)
+                s_lo = fast.nms3x3(raw_lo)
+            else:
+                s_hi = fast.nms3x3(fast.fast_score(img_l, cfg.ini_th_fast))
+                s_lo = fast.nms3x3(fast.fast_score(img_l, cfg.min_th_fast))
             score = fast.two_threshold_cell_select(s_hi, s_lo)
             ys, xs, resp, ok = _select_spatial_topk(score, quota, EDGE_THRESHOLD)
             blurred = image_ops.separable_gaussian(img_l, 7, 2.0)

@@ -140,6 +140,24 @@ def log(T):
     return jnp.concatenate([rho, phi], axis=-1)
 
 
+def orthonormalize(T):
+    """Project the rotation block of (…,4,4) back onto SO(3).
+
+    Two Newton steps of the polar-decomposition iteration
+    X <- X (3I - X^T X) / 2 (quadratically convergent for nearly
+    orthonormal X). Needed wherever poses chain multiplicatively across
+    frames without passing through a host-side general inverse: the
+    transpose-based `inverse` below assumes R in SO(3), so per-frame
+    float32 retract defects otherwise ADD along the chain
+    (e_{n+1} = 2 e_n + e_{n-1}, i.e. (1+sqrt(2))x growth per frame) until
+    the rotation collapses."""
+    R = T[..., :3, :3]
+    eye3 = jnp.eye(3, dtype=T.dtype)
+    for _ in range(2):
+        R = R @ (3.0 * eye3 - jnp.swapaxes(R, -1, -2) @ R) * 0.5
+    return T.at[..., :3, :3].set(R)
+
+
 def inverse(T):
     """Inverse of (…,4,4) rigid transform without a general solve."""
     R = T[..., :3, :3]

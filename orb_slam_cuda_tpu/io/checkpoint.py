@@ -64,28 +64,85 @@ def load_map(path: str):
 
 def save_system(system, path: str):
     """Save a live System's map (reference System dtor save calls,
-    src/System.cc:139-146 — commented out there, first-class here)."""
+    src/System.cc:139-146 — commented out there, first-class here).
+
+    Beyond the map/db arrays, this persists the engine bookkeeping the
+    reference serializes through its KeyFrame records (mTimeStamp,
+    KeyFrame.cc:692) plus the mapper's probation list and allocator
+    cursors, so a load can CONTINUE MAPPING, not just localize."""
+    ts_slots = np.asarray(sorted(system.kf_timestamps), np.int64)
+    ts_vals = np.asarray(
+        [system.kf_timestamps[int(s)] for s in ts_slots], np.float64
+    )
+    recent = np.asarray(system.recent_pts or np.zeros((0, 2)), np.int64)
+    loop_edges = np.asarray(
+        (system.loop_closer.loop_edges if system.loop_closer else [])
+        or np.zeros((0, 2)),
+        np.int64,
+    )
     save_map(
         system.state, system.db, system.kf_order, path,
-        extra={"frame_id": system.frame_id},
+        extra={
+            "frame_id": system.frame_id,
+            "kf_ts_slots": ts_slots,
+            "kf_ts_vals": ts_vals,
+            "recent_pts": recent,
+            "loop_edges": loop_edges,
+            "next_kf_slot": system._next_kf_slot,
+            "next_pt_slot": system.mapper._next_pt_slot,
+        },
     )
 
 
 def load_into_system(system, path: str, localization_only: bool = True):
     """Load a checkpoint into a System and (by default) enter
     localization-only mode, mirroring the reference startup auto-load
-    (src/System.cc:82-99: state LOST -> relocalize against the map)."""
+    (src/System.cc:82-99: state LOST -> relocalize against the map).
+    With localization_only=False the full mapping bookkeeping is restored
+    and the system resumes building the same map after relocalizing."""
     state, db, kf_order, extras = load_map(path)
+    # Capacities follow the checkpoint (it may have been grown).
+    K, N = state.kf_mp.shape
+    P = state.mp_xyz.shape[0]
+    if N != system.map_cfg.max_features:
+        raise ValueError(
+            f"checkpoint feature capacity {N} != extractor's "
+            f"{system.map_cfg.max_features}; construct the System with "
+            "matching n_features"
+        )
+    system.cfg.max_keyframes = K
+    system.cfg.max_points = P
+    system.map_cfg = system.map_cfg._replace(max_keyframes=K, max_points=P)
+    system.mapper.cfg = system.map_cfg
+    if system.loop_closer is not None:
+        system.loop_closer.cfg = system.map_cfg
     system.state = state
     system.db = db
     system.kf_order = kf_order
+    system.mapper.mp_valid_host = np.zeros(P, bool)
     system.mapper.resync_point_mirror(state)
     system.frame_id = int(extras.get("frame_id", 0)) + 1
+    ts_slots = extras.get("kf_ts_slots")
+    if ts_slots is not None:
+        system.kf_timestamps = {
+            int(s): float(v)
+            for s, v in zip(ts_slots, extras["kf_ts_vals"])
+        }
+    system.recent_pts = [
+        (int(p), int(b)) for p, b in extras.get("recent_pts", [])
+    ]
+    if system.loop_closer is not None:
+        system.loop_closer.loop_edges = [
+            (int(a), int(b)) for a, b in extras.get("loop_edges", [])
+        ]
+    system._next_kf_slot = int(extras.get("next_kf_slot", 0))
+    system.mapper._next_pt_slot = int(extras.get("next_pt_slot", 0))
+    system.stats.n_keyframes = len(kf_order)
+    system.ref_kf = kf_order[-1] if kf_order else 0
     from .. import engine
 
     system.tracking_state = engine.system.TrackingState.LOST
     system.last_pose = None
     system.velocity = None
-    if localization_only:
-        system.set_localization_mode(True)
+    system.set_localization_mode(localization_only)
     return system

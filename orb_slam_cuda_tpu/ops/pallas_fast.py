@@ -1,17 +1,23 @@
 """Pallas TPU kernel for FAST-9 corner scoring (both thresholds fused).
 
 The Pallas counterpart of the reference's vxFastCornersNode (reference:
-src/ORBextractor.cc:763) and of frontend/fast.py's XLA formulation. A
-pyramid level fits VMEM whole (level 0 at KITTI scale is ~1.8 MB f32),
-so the kernel keeps the image resident and emits BOTH threshold score
-maps (iniThFAST and minThFAST) in one pass — the two-threshold cell
-fallback (src/ORBextractor.cc:1258-1298) needs both, and the jnp path
-computes the 16 shifted views twice.
+src/ORBextractor.cc:763) and of frontend/fast.py's XLA formulation.
 
-The extractor uses this kernel when `ExtractorConfig.use_pallas_fast`
-is set and the backend is TPU; frontend/fast.py remains the reference
-implementation and the CPU/test path (the kernel is verified against it
-in interpret mode).
+Design: the 16-offset circle comparison materializes 16 shifted copies of
+the image — at KITTI level-0 scale that is ~30 MB of f32, double VMEM's
+16 MB. The kernel therefore runs on a 1-D grid of row tiles: each step
+DMAs its tile plus a 3-row halo from HBM into a VMEM scratch buffer
+(pltpu.make_async_copy), computes both threshold score maps for the tile
+in one pass, and writes the two (tile, W) output blocks. The jnp path
+(frontend/fast.py) computes the 16 shifted views once per threshold; this
+kernel shares them — and keeps the halo exchange in VMEM instead of
+re-reading HBM per threshold.
+
+The extractor uses this kernel when `ExtractorConfig.use_pallas_fast` is
+set (the engine auto-selects it on the TPU backend);
+frontend/fast.py remains the reference implementation and the CPU/test
+path (the kernel is verified against it in interpret mode and on-chip by
+tools/ab_pallas_fast.py).
 """
 
 from __future__ import annotations
@@ -23,53 +29,97 @@ import jax.numpy as jnp
 
 from ..frontend.fast import CIRCLE, _ARC
 
+_TILE = 64  # rows per grid step (VMEM budget: ~16 views x tile x W x 4B)
+_HALO = 3  # FAST circle radius
 
-def _fast_kernel(img_ref, hi_out, lo_out, *, th_hi, th_lo, height, width):
-    img = img_ref[:]
-    pad = jnp.pad(img, 3, mode="edge")
+
+def _fast_kernel(img_ref, hi_ref, lo_ref, buf, sem, *, th_hi, th_lo,
+                 height, width, h_padded, tile):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    rows = tile + 2 * _HALO
+    # The image arrives edge-padded by _HALO rows on top (and enough at
+    # the bottom), so tile i's halo window starts at padded row i*tile and
+    # the tile itself always sits at buffer offset _HALO.
+    start = i * tile
+    off = _HALO
+
+    pltpu.make_async_copy(
+        img_ref.at[pl.ds(start, rows), :], buf, sem
+    ).start()
+    pltpu.make_async_copy(
+        img_ref.at[pl.ds(start, rows), :], buf, sem
+    ).wait()
+
+    # The x axis arrives pre-padded by _HALO on each side (host side);
+    # in-kernel edge padding lowers poorly through Mosaic. All slice
+    # bounds below are static (off == _HALO), which Mosaic requires.
+    padb = buf[:]
+
+    center = padb[off : off + tile, _HALO : _HALO + width]
     views = [
-        jax.lax.slice(pad, (3 + dy, 3 + dx), (3 + dy + height, 3 + dx + width))
+        padb[off + dy : off + dy + tile, _HALO + dx : _HALO + dx + width]
         for dy, dx in CIRCLE
     ]
-    shifted = jnp.stack(views, axis=0)
-    diff = shifted - img[None]
+    shifted = jnp.stack(views, axis=0)  # (16, tile, W)
+    diff = shifted - center[None]
 
     def arc_score(margin):
         mins = margin
         rolled = margin
+        n_circ = margin.shape[0]
         for _ in range(_ARC - 1):
-            rolled = jnp.roll(rolled, -1, axis=0)
+            # pltpu.roll wants a non-negative shift; +(n-1) == -1 mod n.
+            rolled = pltpu.roll(rolled, n_circ - 1, 0)
             mins = jnp.minimum(mins, rolled)
         return jnp.max(mins, axis=0)
 
     score = jnp.maximum(arc_score(diff), arc_score(-diff))
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    interior = (ys >= 3) & (ys < height - 3) & (xs >= 3) & (xs < width - 3)
-    hi_out[:] = jnp.where((score > th_hi) & interior, score, 0.0)
-    lo_out[:] = jnp.where((score > th_lo) & interior, score, 0.0)
+    ys = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 1)
+    interior = (
+        (ys >= _HALO) & (ys < height - _HALO)
+        & (xs >= _HALO) & (xs < width - _HALO)
+    )
+    hi_ref[:] = jnp.where((score > th_hi) & interior, score, 0.0)
+    lo_ref[:] = jnp.where((score > th_lo) & interior, score, 0.0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("th_hi", "th_lo", "interpret")
 )
 def fast_score_pallas(img, th_hi: float, th_lo: float, interpret: bool = False):
-    """(H,W) float32 image -> (score_hi, score_lo) maps, one VMEM pass."""
+    """(H,W) float32 image -> (score_hi, score_lo) maps, one tiled pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = img.shape
-    kernel = functools.partial(
-        _fast_kernel, th_hi=th_hi, th_lo=th_lo, height=h, width=w
+    tile = min(_TILE, max(8, h))
+    n_tiles = -(-h // tile)
+    h_padded = n_tiles * tile + 2 * _HALO
+    img_p = jnp.pad(
+        img.astype(jnp.float32),
+        ((_HALO, h_padded - h - _HALO), (_HALO, _HALO)),
+        mode="edge",
     )
-    out_shape = jax.ShapeDtypeStruct((h, w), jnp.float32)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _fast_kernel, th_hi=th_hi, th_lo=th_lo, height=h, width=w,
+        h_padded=h_padded, tile=tile,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_tiles * tile, w), jnp.float32)
+    out_spec = pl.BlockSpec((tile, w), lambda i: (i, 0))
+    hi, lo = pl.pallas_call(
         kernel,
+        grid=(n_tiles,),
         out_shape=(out_shape, out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _HALO, w + 2 * _HALO), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(img.astype(jnp.float32))
+    )(img_p)
+    return hi[:h], lo[:h]

@@ -41,6 +41,19 @@ def main(argv=None):
                     help="write times*.csv here at shutdown")
     args = ap.parse_args(argv)
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Some launch environments import jax at interpreter startup
+        # before env vars apply; honor JAX_PLATFORMS through the config.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from .engine import Sensor, System
     from .io import (
         EurocDataset,

@@ -68,6 +68,21 @@ def insert(db: BowDB, slot, word_u, weight_u) -> BowDB:
     )
 
 
+def grow(db: BowDB, new_K: int) -> BowDB:
+    """Pad the database to new_K keyframe rows (mirrors
+    state.grow_keyframes)."""
+    K_old = db.valid.shape[0]
+    if new_K <= K_old:
+        return db
+    pad = new_K - K_old
+    B = db.word.shape[1]
+    return BowDB(
+        word=jnp.concatenate([db.word, jnp.full((pad, B), -1, jnp.int32)]),
+        weight=jnp.concatenate([db.weight, jnp.zeros((pad, B), jnp.float32)]),
+        valid=jnp.concatenate([db.valid, jnp.zeros((pad,), bool)]),
+    )
+
+
 @jax.jit
 def erase(db: BowDB, slot) -> BowDB:
     return BowDB(

@@ -252,6 +252,16 @@ def keyframe_redundancy(state: MapState, kf_slot, th_scale_slack: int = 1):
 
 
 @jax.jit
+def sanitize_bindings(state: MapState, mp):
+    """Drop bindings to invalid point slots (reference
+    Tracking::CheckReplacedInLastFrame + MapPoint::isBad checks,
+    src/Tracking.cc:330-345): frame binding vectors computed against an
+    older map state may reference points the mapper has since culled or
+    merged away."""
+    return jnp.where((mp >= 0) & state.mp_valid[jnp.clip(mp, 0)], mp, -1)
+
+
+@jax.jit
 def increase_visible(state: MapState, point_ids, amount=None) -> MapState:
     """mp_visible += 1 for ids (−1 padded); reference MapPoint::IncreaseVisible."""
     sel = point_ids >= 0
@@ -272,7 +282,13 @@ def increase_found(state: MapState, point_ids, amount=None) -> MapState:
 
 def top_covisible(covis_row, n: int):
     """Indices of the n largest-weight covisible keyframes (weight>0
-    first; padded with -1). Replaces GetBestCovisibilityKeyFrames
-    (reference src/KeyFrame.cc:169-183)."""
-    w, idx = jax.lax.top_k(covis_row, n)
-    return jnp.where(w > 0, idx.astype(jnp.int32), -1)
+    first; padded with -1, and always (n,)-shaped even when the keyframe
+    capacity is below n — small pre-growth maps). Replaces
+    GetBestCovisibilityKeyFrames (reference src/KeyFrame.cc:169-183)."""
+    k = min(n, covis_row.shape[-1])
+    w, idx = jax.lax.top_k(covis_row, k)
+    out = jnp.where(w > 0, idx.astype(jnp.int32), -1)
+    if k < n:
+        pad_shape = out.shape[:-1] + (n - k,)
+        out = jnp.concatenate([out, jnp.full(pad_shape, -1, jnp.int32)], axis=-1)
+    return out

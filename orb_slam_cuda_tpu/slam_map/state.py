@@ -142,6 +142,67 @@ def empty(cfg: MapConfig) -> MapState:
     )
 
 
+def grow_keyframes(state: MapState, new_K: int) -> MapState:
+    """Return a copy with keyframe capacity padded to new_K (contents
+    preserved; new rows are free slots). The TPU answer to the reference's
+    unbounded `std::set<KeyFrame*>` growth (src/Map.cc:32-38): capacity
+    doubles when the engine detects pressure, amortizing the recompile of
+    every K-shaped jitted program over the next K insertions
+    (SURVEY.md §7 hard part (b))."""
+    K_old = state.kf_valid.shape[0]
+    if new_K <= K_old:
+        return state
+    pad = new_K - K_old
+    N = state.kf_mp.shape[1]
+
+    def cat(a, fill):
+        shape = (pad,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
+
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (pad, 1, 1))
+    return state._replace(
+        kf_pose=jnp.concatenate([state.kf_pose, eye], axis=0),
+        kf_valid=cat(state.kf_valid, False),
+        kf_frame_id=cat(state.kf_frame_id, -1),
+        kf_uv=cat(state.kf_uv, 0.0),
+        kf_right=cat(state.kf_right, -1.0),
+        kf_depth=cat(state.kf_depth, -1.0),
+        kf_oct=cat(state.kf_oct, 0),
+        kf_ang=cat(state.kf_ang, 0.0),
+        kf_desc=cat(state.kf_desc, 0),
+        kf_feat_valid=cat(state.kf_feat_valid, False),
+        kf_word=cat(state.kf_word, -1),
+        kf_node=cat(state.kf_node, -1),
+        kf_mp=cat(state.kf_mp, -1),
+    )
+
+
+def grow_points(state: MapState, new_P: int) -> MapState:
+    """Return a copy with map-point capacity padded to new_P (new rows
+    invalid/free). See grow_keyframes."""
+    P_old = state.mp_valid.shape[0]
+    if new_P <= P_old:
+        return state
+    pad = new_P - P_old
+
+    def cat(a, fill):
+        shape = (pad,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
+
+    return state._replace(
+        mp_xyz=cat(state.mp_xyz, 0.0),
+        mp_valid=cat(state.mp_valid, False),
+        mp_desc=cat(state.mp_desc, 0),
+        mp_normal=cat(state.mp_normal, 0.0),
+        mp_min_dist=cat(state.mp_min_dist, 0.0),
+        mp_max_dist=cat(state.mp_max_dist, 1e9),
+        mp_ref_kf=cat(state.mp_ref_kf, -1),
+        mp_first_kf=cat(state.mp_first_kf, -1),
+        mp_visible=cat(state.mp_visible, 1.0),
+        mp_found=cat(state.mp_found, 1.0),
+    )
+
+
 @jax.jit
 def insert_keyframe(
     state: MapState,

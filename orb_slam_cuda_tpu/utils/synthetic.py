@@ -13,11 +13,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_texture(h: int, w: int, rng, n_blobs: int = 400) -> np.ndarray:
+def make_texture(h: int, w: int, rng, n_blobs: int | None = None) -> np.ndarray:
     """Corner-rich random texture: random rectangles over noise, lightly
-    blurred so FAST/BRIEF behave like on natural images."""
+    blurred so FAST/BRIEF behave like on natural images. Blob count
+    scales with area (constant corner density; 400 at 768x768)."""
     import cv2
 
+    if n_blobs is None:
+        n_blobs = max(400, (h * w) // 1475)
     tex = rng.uniform(64, 192, size=(h, w)).astype(np.float32)
     tex = cv2.GaussianBlur(tex, (0, 0), 3.0)
     for _ in range(n_blobs):

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from orb_slam_cuda_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -84,6 +84,59 @@ class TestMonocularEndToEnd:
             slam.track_monocular(scene.render(np.asarray(cam.K), T, W, H), i * 0.1)
         assert slam.stats.n_keyframes == 0  # no parallax -> no map
 
+    def test_pipelined_tracking_matches_sync(self, scene_and_cam):
+        # pipeline_lag > 0 dispatches the fused step immediately and
+        # consumes the scalar readback L frames late (hiding the device
+        # round trip, SystemConfig.pipeline_lag). The lag skews keyframe
+        # decisions by L frames but must not change accuracy class.
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(40, radius=0.6)
+        slam = make_system(cam, pipeline_lag=2)
+        est, gt = run_sequence(slam, scene, poses, np.asarray(cam.K))
+        assert slam.tracked_ratio() > 0.85
+        assert len(est) >= 30
+        ate = ate_rmse(est, gt)
+        assert ate < 0.10, f"pipelined ATE {ate:.3f} too high"
+
+    def test_pipelined_recovers_from_blackout(self, scene_and_cam):
+        # Loss is discovered L frames late; the drain + relocalize path
+        # must still recover (mirrors the sync blackout test below).
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(44, radius=0.6)
+        slam = make_system(
+            cam, max_frames_between_kf=4, kf_cull_redundancy=1.1,
+            pipeline_lag=2, kf_ref_ratio=1.1,
+        )
+        K = np.asarray(cam.K)
+        blank = np.zeros((H, W), np.uint8)
+        for i, T in enumerate(poses):
+            img = blank if 30 <= i < 33 else scene.render(K, T, W, H)
+            slam.track_monocular(img, i * 0.1)
+        status = slam.get_status()  # flushes the pipeline
+        assert slam.stats.n_lost >= 2
+        assert slam.stats.n_reloc >= 1
+        assert status["state"] == "OK"
+
+    def test_capacity_growth(self, scene_and_cam):
+        # Capacity doubling (SURVEY §7b): start with tiny keyframe/point
+        # caps and an aggressive keyframe cadence; the engine must grow
+        # instead of raising "capacity exhausted" (the round-1 failure
+        # mode) and stay accurate across the recompiles.
+        scene, cam = scene_and_cam
+        poses = synthetic.orbit_trajectory(40, radius=0.6)
+        slam = make_system(
+            cam, max_keyframes=8, max_points=4096,
+            max_frames_between_kf=3, kf_cull_redundancy=1.1,
+            kf_ref_ratio=1.1,
+        )
+        est, gt = run_sequence(slam, scene, poses, np.asarray(cam.K))
+        assert slam.stats.n_kf_grows >= 1
+        assert slam.state.kf_valid.shape[0] >= 16
+        assert slam.stats.n_keyframes > 8
+        assert slam.tracked_ratio() > 0.85
+        ate = ate_rmse(est, gt)
+        assert ate < 0.10, f"post-growth ATE {ate:.3f} too high"
+
     def test_relocalizes_after_blackout(self, scene_and_cam):
         # Blackout placed late enough that the map has >5 keyframes —
         # losing earlier triggers the reference's small-map full reset
@@ -95,7 +148,8 @@ class TestMonocularEndToEnd:
         # by the time the blackout hits (CPU numerics cull more
         # aggressively on this highly redundant synthetic orbit, which
         # would flip recovery into the full-reset path instead).
-        slam = make_system(cam, max_frames_between_kf=4, kf_cull_redundancy=1.1)
+        slam = make_system(cam, max_frames_between_kf=4, kf_cull_redundancy=1.1,
+                           kf_ref_ratio=1.1)
         K = np.asarray(cam.K)
         blank = np.zeros((H, W), np.uint8)
         tracked_after = 0

@@ -107,6 +107,10 @@ class TestCheckpoint:
             camera=cam, sensor=Sensor.MONOCULAR, n_features=600,
             max_keyframes=64, max_points=8192, enable_loop_closing=False,
             max_frames_between_kf=8,
+            # Pure-cadence keyframes: the synthetic orbit keeps the
+            # reference-KF ratio condition satisfied (nothing new to map),
+            # which would starve these fixtures of keyframes.
+            kf_ref_ratio=1.1,
         )
         slam = System(cfg)
         K = np.asarray(cam.K)
@@ -151,6 +155,42 @@ class TestCheckpoint:
         assert tracked >= 10, "failed to localize against the loaded map"
         # Localization mode must not grow the map.
         assert len(slam2.kf_order) == len(slam.kf_order)
+
+    def test_resume_continue_mapping(self, rng, tmp_path):
+        """save -> load -> CONTINUE MAPPING: the checkpoint carries the
+        mapper bookkeeping (probation list, allocator cursors, keyframe
+        timestamps), so a resumed system keeps extending the same map
+        (the reference only ever resumes into localization mode; this is
+        a strict superset)."""
+        slam, scene, poses, cam = self.run_slam(rng, n_frames=18)
+        p = str(tmp_path / "map.npz")
+        slam.save_map(p)
+        n_kfs_saved = len(slam.kf_order)
+        assert n_kfs_saved >= 2
+
+        import dataclasses
+
+        slam2 = System(dataclasses.replace(slam.cfg))
+        slam2.load_map(p, localization_only=False)
+        assert slam2.kf_timestamps == slam.kf_timestamps
+        assert slam2.recent_pts == slam.recent_pts
+        # Drive further along the trajectory than the saved run reached.
+        more = synthetic.orbit_trajectory(60, radius=0.6)
+        K = np.asarray(cam.K)
+        tracked = 0
+        for i, T in enumerate(more[10:45]):
+            pose = slam2.track_monocular(
+                scene.render(K, T, 320, 240), 200.0 + i * 0.1
+            )
+            if pose is not None:
+                tracked += 1
+        assert tracked >= 20, "failed to relocalize + keep tracking"
+        assert len(slam2.kf_order) > n_kfs_saved, "mapping did not resume"
+        # New keyframes bind into the SAME map (observation table sane).
+        kf_mp = np.asarray(slam2.state.kf_mp)
+        mp_valid = np.asarray(slam2.state.mp_valid)
+        bound = kf_mp[kf_mp >= 0]
+        assert mp_valid[bound].all()
 
 
 class TestBalIO:

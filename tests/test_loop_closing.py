@@ -234,6 +234,38 @@ class TestLoopClosing:
         # And the whole ring should not get worse on average.
         assert after.mean() < before.mean()
 
+    def test_sim3_funnel_rejects_aliased_candidate(self, rng):
+        # A geometrically-wrong candidate (keyframe on the far side of
+        # the ring — some shared BoW words, no consistent Sim3) must be
+        # rejected by the RANSAC -> SearchBySim3/OptimizeSim3 ->
+        # projection-gate ladder (reference LoopClosing.cc:267-440
+        # returns false).
+        st, db, T_true, T_est, vocab = build_drifted_ring(rng)
+        lc = LoopCloser(CFG, CAM, vocab)
+        assert lc._compute_sim3(st, 15, [7]) is None
+        assert lc._compute_sim3(st, 15, [8]) is None
+
+    def test_global_ba_distributed_matches_single(self, rng):
+        # Engine-level wiring of parallel/dist_ba.py: the loop closer's
+        # global BA sharded over the 8-device CPU mesh must land on the
+        # same optimum as the single-device solve.
+        from orb_slam_cuda_tpu.parallel import make_mesh
+
+        st, db, T_true, T_est, vocab = build_drifted_ring(rng)
+        kf_order = list(range(16))
+        lc_single = LoopCloser(CFG, CAM, vocab)
+        lc_mesh = LoopCloser(CFG, CAM, vocab, mesh=make_mesh(8))
+        st_single = lc_single._global_ba(st, kf_order)
+        st_mesh = lc_mesh._global_ba(st, kf_order)
+        np.testing.assert_allclose(
+            np.asarray(st_mesh.kf_pose), np.asarray(st_single.kf_pose),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_mesh.mp_xyz), np.asarray(st_single.mp_xyz),
+            atol=5e-3,
+        )
+
     def test_detect_consistency_chaining(self, rng):
         st, db, T_true, T_est, vocab = build_drifted_ring(rng)
         lc = LoopCloser(CFG, CAM, vocab)
@@ -249,3 +281,52 @@ class TestLoopClosing:
         # By the 4th consecutive consistent detection something qualifies
         # (the ring's closing keyframes genuinely see the start's walls).
         assert any(len(o) > 0 for o in outs[2:])
+
+
+class TestRelocalizationGate:
+    """The 50-inlier acceptance rule (reference src/Tracking.cc:1585):
+    relocalization must REJECT candidates whose refined pose holds fewer
+    than 50 inliers instead of returning a tentative success."""
+
+    def _frame_from_keyframe(self, st, vocab, k, keep: int):
+        from orb_slam_cuda_tpu.engine.frame import FrameData
+
+        N = st.kf_mp.shape[1]
+        valid = np.asarray(st.kf_feat_valid[k]).copy()
+        idx = np.flatnonzero(valid)
+        valid[:] = False
+        valid[idx[:keep]] = True
+        desc = st.kf_desc[k]
+        return FrameData(
+            uv=st.kf_uv[k], uv_raw=st.kf_uv[k], oct=st.kf_oct[k],
+            ang=st.kf_ang[k],
+            response=jnp.zeros((N,), jnp.float32), desc=desc,
+            bip=hamming.bipolar(desc), valid=jnp.asarray(valid),
+            word=st.kf_word[k], node=st.kf_node[k],
+            idf=jnp.ones((N,), jnp.float32),
+            right=jnp.full((N,), -1.0), depth=jnp.full((N,), -1.0),
+            mp=jnp.full((N,), -1, jnp.int32),
+        )
+
+    def test_accepts_strong_rejects_weak(self, rng):
+        from orb_slam_cuda_tpu.engine import relocalization
+        from orb_slam_cuda_tpu.slam_map import keyframe_db as kdb
+
+        st, db, T_true, T_est, vocab = build_drifted_ring(rng)
+        sf = jnp.asarray(CFG.scale_factors, jnp.float32)
+
+        # Full feature set relocalizes.
+        frame = self._frame_from_keyframe(st, vocab, 5, keep=250)
+        pose, mp, ok = relocalization.relocalize(
+            st, db, frame, CAM, vocab.n_words, sf
+        )
+        assert ok
+        err = np.abs(np.asarray(pose) - np.asarray(st.kf_pose[5])).max()
+        assert err < 0.05
+
+        # Starved feature set (< 50 possible inliers) must be rejected.
+        frame_weak = self._frame_from_keyframe(st, vocab, 5, keep=40)
+        _, _, ok_weak = relocalization.relocalize(
+            st, db, frame_weak, CAM, vocab.n_words, sf
+        )
+        assert not ok_weak

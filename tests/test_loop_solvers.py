@@ -1,11 +1,11 @@
-"""Tests for the Sim3 RANSAC solver and the Sim3 pose graph."""
+"""Tests for the Sim3 RANSAC solver, OptimizeSim3 and the Sim3 pose graph."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from orb_slam_cuda_tpu.geometry import camera, se3, sim3
-from orb_slam_cuda_tpu.solvers import pose_graph, sim3_solver
+from orb_slam_cuda_tpu.solvers import pose_graph, sim3_opt, sim3_solver
 
 CAM = camera.Camera.create(fx=400.0, fy=400.0, cx=160.0, cy=120.0, width=320, height=240)
 
@@ -60,6 +60,89 @@ class TestSim3Ransac:
         inl = np.asarray(res.inliers)
         assert inl[idx_out].sum() <= 2
         assert inl.sum() >= 70
+
+
+class TestOptimizeSim3:
+    """OptimizeSim3 (reference src/Optimizer.cc:1190-1417): joint Sim3
+    refinement over bidirectional reprojection edges with chi2 outlier
+    reclassification."""
+
+    def _make_problem(self, rng, m=60, n_out=0):
+        # Points in KF2 camera frame; KF1 sees them through a true Sim3.
+        x2c = np.stack([
+            rng.uniform(-1.5, 1.5, m), rng.uniform(-1, 1, m),
+            rng.uniform(3, 8, m),
+        ], -1).astype(np.float32)
+        xi = np.array([0.2, -0.1, 0.3, 0.05, -0.08, 0.02, 0.12], np.float32)
+        S_true = sim3.exp(jnp.asarray(xi))
+        x1c = np.asarray(sim3.transform(S_true, jnp.asarray(x2c)))
+        uv1 = np.array(camera.project(CAM, jnp.asarray(x1c)))
+        uv2 = np.array(camera.project(CAM, jnp.asarray(x2c)))
+        out_idx = rng.choice(m, n_out, replace=False) if n_out else np.array([], int)
+        uv1[out_idx] += rng.uniform(20, 60, (n_out, 2))
+        isig = np.ones(m, np.float32)
+        return S_true, x1c, x2c, uv1, uv2, isig, out_idx
+
+    def test_refines_perturbed_estimate(self, rng):
+        S_true, x1c, x2c, uv1, uv2, isig, _ = self._make_problem(rng)
+        # Perturb the initial estimate.
+        dxi = np.array([0.05, -0.04, 0.06, 0.02, -0.015, 0.01, 0.03], np.float32)
+        S0 = sim3.compose(sim3.exp(jnp.asarray(dxi)), S_true)
+        res = sim3_opt.optimize_sim3(
+            S0, jnp.asarray(x1c), jnp.asarray(x2c),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(isig), jnp.asarray(isig),
+            jnp.ones(len(x1c), bool), CAM,
+        )
+        assert int(res.n_inliers) == len(x1c)
+        R_t, t_t, s_t = [np.asarray(v) for v in S_true]
+        np.testing.assert_allclose(np.asarray(res.R), R_t, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.t), t_t, atol=1e-2)
+        np.testing.assert_allclose(float(res.s), float(s_t), rtol=1e-3)
+
+    def test_reclassifies_outliers(self, rng):
+        S_true, x1c, x2c, uv1, uv2, isig, out_idx = self._make_problem(
+            rng, m=80, n_out=20
+        )
+        res = sim3_opt.optimize_sim3(
+            S_true, jnp.asarray(x1c), jnp.asarray(x2c),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(isig), jnp.asarray(isig),
+            jnp.ones(len(x1c), bool), CAM,
+        )
+        inl = np.asarray(res.inliers)
+        assert not inl[out_idx].any()
+        assert int(res.n_inliers) == 60
+        np.testing.assert_allclose(
+            float(res.s), float(np.asarray(S_true[2])), rtol=5e-3
+        )
+
+    def test_fix_scale_pins_scale(self, rng):
+        S_true, x1c, x2c, uv1, uv2, isig, _ = self._make_problem(rng)
+        # Start from a wrong scale with fix_scale: scale must stay put.
+        R0, t0, s0 = S_true
+        S0 = (R0, t0, jnp.float32(1.0))
+        res = sim3_opt.optimize_sim3(
+            S0, jnp.asarray(x1c), jnp.asarray(x2c),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(isig), jnp.asarray(isig),
+            jnp.ones(len(x1c), bool), CAM, fix_scale=True,
+        )
+        assert abs(float(res.s) - 1.0) < 1e-6
+
+    def test_under_ten_survivors_fails(self, rng):
+        # Reference: fewer than 10 surviving correspondences -> return 0
+        # (src/Optimizer.cc:1360-1361).
+        S_true, x1c, x2c, uv1, uv2, isig, out_idx = self._make_problem(
+            rng, m=20, n_out=15
+        )
+        res = sim3_opt.optimize_sim3(
+            S_true, jnp.asarray(x1c), jnp.asarray(x2c),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(isig), jnp.asarray(isig),
+            jnp.ones(len(x1c), bool), CAM,
+        )
+        assert int(res.n_inliers) == 0
 
 
 def ring_problem(rng, n=12, drift_scale=0.01):

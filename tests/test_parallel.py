@@ -86,3 +86,73 @@ class TestMultihost:
         from orb_slam_cuda_tpu.parallel.multihost import initialize_distributed
 
         assert initialize_distributed() is False
+
+
+class TestClusterBlockBA:
+    """Cluster-parallel map refinement (parallel/cluster_ba.py): the
+    covisibility partition becomes per-device local-BA blocks."""
+
+    def _noisy_ring(self, rng):
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_loop_closing import CAM, CFG, build_drifted_ring
+
+        st, db, T_true, T_est, vocab = build_drifted_ring(rng, drift=0.0)
+        # The fixture is self-consistent (zero reprojection error at its
+        # stored poses/points); perturb both so BA has work to do.
+        K = st.kf_pose.shape[0]
+        noise_p = jnp.asarray(
+            rng.normal(0, 0.004, (st.mp_xyz.shape[0], 3)).astype(np.float32)
+        )
+        st_noisy = st._replace(
+            mp_xyz=jnp.where(st.mp_valid[:, None], st.mp_xyz + noise_p, st.mp_xyz),
+        )
+        return st_noisy, CAM, CFG
+
+    @staticmethod
+    def reproj_rmse(state, cam):
+        from orb_slam_cuda_tpu.geometry import camera as cam_mod, se3
+
+        kf_mp = np.asarray(state.kf_mp)
+        errs = []
+        for k in np.flatnonzero(np.asarray(state.kf_valid)):
+            row = kf_mp[k]
+            sel = row >= 0
+            if not sel.any():
+                continue
+            X = np.asarray(state.mp_xyz)[row[sel]]
+            Xc = X @ np.asarray(state.kf_pose[k])[:3, :3].T + np.asarray(state.kf_pose[k])[:3, 3]
+            z = np.maximum(Xc[:, 2], 1e-6)
+            u = float(cam.fx) * Xc[:, 0] / z + float(cam.cx)
+            v = float(cam.fy) * Xc[:, 1] / z + float(cam.cy)
+            uv = np.asarray(state.kf_uv[k])[sel]
+            errs.append(((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2))
+        e = np.concatenate(errs)
+        return float(np.sqrt(e.mean()))
+
+    def test_reduces_reprojection_error(self, rng):
+        from orb_slam_cuda_tpu.parallel.cluster_ba import cluster_block_ba
+
+        st, cam, cfg = self._noisy_ring(rng)
+        before = self.reproj_rmse(st, cam)
+        inv_sig2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
+        st2 = cluster_block_ba(
+            st, cam, inv_sig2, mesh=None, n_clusters=4, rounds=2,
+            cams_per=12, pts_per=1024,
+        )
+        after = self.reproj_rmse(st2, cam)
+        assert after < 0.5 * before, f"before {before:.3f} after {after:.3f}"
+
+    def test_mesh_matches_unsharded(self, rng):
+        from orb_slam_cuda_tpu.parallel.cluster_ba import cluster_block_ba
+
+        st, cam, cfg = self._noisy_ring(rng)
+        inv_sig2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
+        kw = dict(n_clusters=8, rounds=1, cams_per=8, pts_per=1024)
+        st_plain = cluster_block_ba(st, cam, inv_sig2, mesh=None, **kw)
+        st_mesh = cluster_block_ba(st, cam, inv_sig2, mesh=make_mesh(8), **kw)
+        np.testing.assert_allclose(
+            np.asarray(st_mesh.kf_pose), np.asarray(st_plain.kf_pose), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_mesh.mp_xyz), np.asarray(st_plain.mp_xyz), atol=1e-3
+        )

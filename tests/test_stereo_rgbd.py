@@ -70,6 +70,11 @@ class TestStereoEndToEnd:
             camera=cam, sensor=Sensor.STEREO, n_features=600,
             max_keyframes=64, max_points=8192, enable_loop_closing=False,
             max_frames_between_kf=8, stereo_init_min_features=300,
+            # Pure-cadence keyframes: this scene has no "close" features
+            # (scene depth > ThDepth) and tracking never weakens, so the
+            # reference's c2/c1c conditions would keep the map at one
+            # keyframe (correct reference behavior, wrong fixture).
+            kf_ref_ratio=1.1,
         )
         slam = System(cfg)
         gt = []
@@ -104,6 +109,11 @@ class TestRGBDEndToEnd:
             camera=cam, sensor=Sensor.RGBD, n_features=600,
             max_keyframes=64, max_points=8192, enable_loop_closing=False,
             max_frames_between_kf=8, stereo_init_min_features=300,
+            # Pure-cadence keyframes: this scene has no "close" features
+            # (scene depth > ThDepth) and tracking never weakens, so the
+            # reference's c2/c1c conditions would keep the map at one
+            # keyframe (correct reference behavior, wrong fixture).
+            kf_ref_ratio=1.1,
         )
         slam = System(cfg)
         gt = []
@@ -150,3 +160,46 @@ def render_depth(scene, K, Tcw):
     # z_cam = lam since rays have z=1).
     depth = np.where(np.isfinite(depth), depth, 0.0)
     return depth.astype(np.float32)
+
+
+class TestLocalizationVisualOdometry:
+    """mbVO (reference src/Tracking.cc:383-470): localization-only mode
+    survives mapless regions by tracking frame-to-frame on the last
+    frame's depth points."""
+
+    def test_vo_tracks_through_mapless_region(self, rng):
+        cam = stereo_cam()
+        # Texture everywhere; the map only covers the start.
+        scene = synthetic.PlanarScene.default(
+            rng, depth=5.0, second_depth=8.0, extent=48.0, tex_size=3072
+        )
+        K = np.asarray(cam.K)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.RGBD, n_features=600,
+            max_keyframes=64, max_points=8192, enable_loop_closing=False,
+            max_frames_between_kf=8, stereo_init_min_features=300,
+            kf_ref_ratio=1.1,
+        )
+        slam = System(cfg)
+        poses = synthetic.orbit_trajectory(12, radius=0.5)
+        for i, T in enumerate(poses):
+            img = scene.render(K, T, W, H)
+            slam.track_rgbd(img, render_depth(scene, K, T), i * 0.1)
+        assert slam.stats.n_keyframes >= 1
+        slam.set_localization_mode(True)
+        # Walk far sideways: the mapped points leave the frustum, but the
+        # scene still has texture — VO must carry the pose.
+        tracked_far = 0
+        for j in range(60):
+            T = np.eye(4)
+            T[0, 3] = -(0.6 + 0.18 * j)  # Tcw: camera center at +x
+            img = scene.render(K, T, W, H)
+            pose = slam.track_rgbd(img, render_depth(scene, K, T), 10.0 + j * 0.1)
+            if pose is not None and j > 30:
+                tracked_far += 1
+        assert slam.stats.n_vo_frames >= 5, (
+            f"VO never engaged (vo_frames={slam.stats.n_vo_frames})"
+        )
+        assert tracked_far >= 10, "lost the pose in the mapless region"
+        # Localization mode must not have grown the map.
+        assert slam.stats.n_keyframes <= 12
