@@ -31,6 +31,11 @@ from ..frontend.fast import CIRCLE, _ARC
 
 _TILE = 64  # rows per grid step (VMEM budget: ~16 views x tile x W x 4B)
 _HALO = 3  # FAST circle radius
+# DMA row halo: Mosaic requires HBM->VMEM slice heights aligned to the
+# 8-row sublane tiling, so the copy window is tile + 2*_ROW_HALO rows
+# (a multiple of 8 whenever tile is), one spare row beyond the circle
+# radius on each side.
+_ROW_HALO = 4
 
 
 def _fast_kernel(img_ref, hi_ref, lo_ref, buf, sem, *, th_hi, th_lo,
@@ -39,12 +44,14 @@ def _fast_kernel(img_ref, hi_ref, lo_ref, buf, sem, *, th_hi, th_lo,
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    rows = tile + 2 * _HALO
-    # The image arrives edge-padded by _HALO rows on top (and enough at
-    # the bottom), so tile i's halo window starts at padded row i*tile and
-    # the tile itself always sits at buffer offset _HALO.
+    rows = tile + 2 * _ROW_HALO
+    # The image arrives edge-padded by _ROW_HALO rows on top (and enough
+    # at the bottom), so tile i's halo window starts at padded row i*tile
+    # (8-aligned) and the tile itself always sits at buffer offset
+    # _ROW_HALO; the copy height `rows` is a multiple of 8 (Mosaic's
+    # sublane tiling constraint on memref slices).
     start = i * tile
-    off = _HALO
+    off = _ROW_HALO
 
     pltpu.make_async_copy(
         img_ref.at[pl.ds(start, rows), :], buf, sem
@@ -96,12 +103,15 @@ def fast_score_pallas(img, th_hi: float, th_lo: float, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = img.shape
-    tile = min(_TILE, max(8, h))
+    # Tile height must be a multiple of 8 so both the grid-step start
+    # offsets (i*tile) and the DMA window heights (tile + 2*_ROW_HALO)
+    # satisfy Mosaic's sublane-tiling alignment.
+    tile = min(_TILE, max(8, -(-h // 8) * 8))
     n_tiles = -(-h // tile)
-    h_padded = n_tiles * tile + 2 * _HALO
+    h_padded = n_tiles * tile + 2 * _ROW_HALO
     img_p = jnp.pad(
         img.astype(jnp.float32),
-        ((_HALO, h_padded - h - _HALO), (_HALO, _HALO)),
+        ((_ROW_HALO, h_padded - h - _ROW_HALO), (_HALO, _HALO)),
         mode="edge",
     )
     kernel = functools.partial(
@@ -117,7 +127,7 @@ def fast_score_pallas(img, th_hi: float, th_lo: float, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _HALO, w + 2 * _HALO), jnp.float32),
+            pltpu.VMEM((tile + 2 * _ROW_HALO, w + 2 * _HALO), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
