@@ -65,6 +65,9 @@ def main():
         camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
         max_keyframes=128, max_points=16384, enable_loop_closing=True,
         max_frames_between_kf=10, min_frames_between_kf=4,
+        # Verified on this chip by tools/ab_pallas_fast.py (exact match vs
+        # the XLA path, 1.84x faster extraction at 1241x376) — see PERF.md.
+        use_pallas_fast=True,
         # One fused dispatch per frame, scalar readback consumed 3 frames
         # late: the tunnel round trip overlaps the next dispatches
         # (SystemConfig.pipeline_lag).

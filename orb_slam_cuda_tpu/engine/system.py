@@ -98,9 +98,12 @@ class SystemConfig:
     # across the mesh (parallel/dist_ba.py) — the BASELINE.json
     # multi-chip capability the single-GPU reference lacks.
     mesh: object = None
-    # Pallas fused FAST kernel (ops/pallas_fast.py): None = auto (on for
-    # the TPU backend, where the A/B in PERF.md was measured), True/False
-    # forces.
+    # Pallas fused FAST kernel (ops/pallas_fast.py): default OFF — the
+    # XLA path (frontend/fast.py) is the production default; enable only
+    # after tools/ab_pallas_fast.py passes on the target device (round 2
+    # shipped an auto-on default that failed Mosaic compile on-chip and
+    # zeroed the benchmark; never auto-enable an unverified kernel).
+    # None is accepted and means False.
     use_pallas_fast: Optional[bool] = None
 
 
@@ -124,11 +127,7 @@ class System:
         cam = config.camera
         assert cam is not None, "SystemConfig.camera required"
         self.cam = cam
-        import jax as _jax_backend
-
-        use_pallas = config.use_pallas_fast
-        if use_pallas is None:
-            use_pallas = _jax_backend.default_backend() == "tpu"
+        use_pallas = bool(config.use_pallas_fast)
         self.extractor = ORBExtractor(
             ExtractorConfig(
                 n_features=config.n_features,
