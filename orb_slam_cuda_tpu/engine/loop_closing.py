@@ -30,6 +30,69 @@ from ..solvers import pose_graph, sim3_opt, sim3_solver
 from . import local_mapping
 
 CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh (LoopClosing.cc:43)
+
+
+class GBAPending:
+    """In-flight global BA (the reference's GBA thread state,
+    src/LoopClosing.cc:700-807): the dispatched solve's device futures
+    plus the snapshots finish_global_ba needs to apply it safely after
+    tracked frames and keyframes have interleaved."""
+
+    __slots__ = ("idx", "result", "kfs", "kf_gen_snap", "pt_snap")
+
+    def __init__(self, idx, result, kfs, kf_gen_snap, pt_snap):
+        self.idx = idx
+        self.result = result
+        self.kfs = kfs
+        self.kf_gen_snap = kf_gen_snap
+        self.pt_snap = pt_snap
+
+
+@jax.jit
+def _apply_gba(state: MapState, gba_pose, gba_xyz, kf_apply, pt_apply,
+               chain_child, chain_parent):
+    """Scatter a finished global BA into the CURRENT map state.
+
+    kf_apply: (K,) keyframes taking their GBA pose directly.
+    pt_apply: (P,) points taking their GBA position directly.
+    chain_child/chain_parent: (M,) -1-padded catch-up chain — keyframes
+    created during the solve, corrected child-after-parent in insertion
+    order (reference spanning-tree propagation, src/LoopClosing.cc:
+    742-770). Remaining points re-anchor through their reference
+    keyframe's (old, corrected) pose pair (:771-795)."""
+    corrected = jnp.where(kf_apply[:, None, None], gba_pose, state.kf_pose)
+    changed = kf_apply
+
+    def chain_body(i, carry):
+        corr, chg = carry
+        c = chain_child[i]
+        p = chain_parent[i]
+        ok = (c >= 0) & (p >= 0)
+        cs = jnp.clip(c, 0)
+        ps = jnp.clip(p, 0)
+        Tc = state.kf_pose[cs] @ se3.inverse(state.kf_pose[ps]) @ corr[ps]
+        corr = corr.at[cs].set(jnp.where(ok, Tc, corr[cs]))
+        chg = chg.at[cs].set(chg[cs] | ok)
+        return corr, chg
+
+    corrected, changed = jax.lax.fori_loop(
+        0, chain_child.shape[0], chain_body, (corrected, changed)
+    )
+
+    # Points: direct GBA result, else re-anchor via the reference KF.
+    xyz = jnp.where(pt_apply[:, None], gba_xyz, state.mp_xyz)
+    ref = jnp.clip(state.mp_ref_kf, 0)
+    R_old = state.kf_pose[ref][:, :3, :3]
+    t_old = state.kf_pose[ref][:, :3, 3]
+    p_cam = jnp.einsum("pij,pj->pi", R_old, xyz) + t_old
+    R_new = corrected[ref][:, :3, :3]
+    t_new = corrected[ref][:, :3, 3]
+    p_re = jnp.einsum("pji,pj->pi", R_new, p_cam - t_new)
+    fix = state.mp_valid & ~pt_apply & changed[ref]
+    xyz = jnp.where(fix[:, None], p_re, xyz)
+
+    kf_pose = jnp.where(changed[:, None, None], corrected, state.kf_pose)
+    return state._replace(kf_pose=kf_pose, mp_xyz=xyz)
 MIN_SIM3_INLIERS = 20  # reference :383
 MIN_OPT_INLIERS = 20  # reference: OptimizeSim3 result gate (LoopClosing.cc:369)
 MIN_TOTAL_MATCHES = 40  # reference: projection-gate floor (LoopClosing.cc:427)
@@ -149,11 +212,12 @@ def sim3_search_and_refine(
     q2 = jnp.clip(mp2[jm], 0)
     pair_ok = (feat12 >= 0) & has1 & has2[jm]
     x2c_m = se3.transform(T2, state.mp_xyz[q2])
-    inv_sig = 1.0 / jnp.asarray(
-        [1.2 ** (2 * i) for i in range(8)], jnp.float32
-    )
-    oct1 = jnp.clip(state.kf_oct[kf1], 0, 7)
-    oct2 = jnp.clip(state.kf_oct[kf2][jm], 0, 7)
+    # Information from the configured pyramid scales (reference
+    # mvInvLevelSigma2, src/Optimizer.cc:1270-1299).
+    max_oct = sf.shape[0] - 1
+    inv_sig = 1.0 / (jnp.asarray(sf, jnp.float32) ** 2)
+    oct1 = jnp.clip(state.kf_oct[kf1], 0, max_oct)
+    oct2 = jnp.clip(state.kf_oct[kf2][jm], 0, max_oct)
     res = sim3_opt.optimize_sim3(
         S12, x1c, x2c_m,
         state.kf_uv[kf1], state.kf_uv[kf2][jm],
@@ -257,16 +321,31 @@ class LoopCloser:
         # (src/Optimizer.cc:1040-1056) — without this a second loop
         # closure forgets the first one's constraint.
         self.loop_edges: List[Tuple[int, int]] = []
+        # GBA generation counter (reference mnFullBAIdx, src/LoopClosing.
+        # cc:455-470,716-717): each accepted loop bumps it; a pending
+        # global BA whose captured index no longer matches was superseded
+        # by a newer loop and its result is discarded.
+        self.gba_idx = 0
+        # Set by finish_detect when a loop correction wants a global BA;
+        # the engine turns it into separate dispatch/finish background
+        # units (the reference's 4th thread, src/LoopClosing.cc:631).
+        self.gba_requested = False
 
     # ------------------------------------------------------------------
     def process(self, state: MapState, db, kf_slot: int, kf_order: List[int]):
-        """DetectLoop → ComputeSim3 → CorrectLoop for one new keyframe
-        (synchronous form: dispatch + finish back-to-back; the engine's
-        async path defers the finish — see System._pump_background)."""
+        """DetectLoop → ComputeSim3 → CorrectLoop → GBA for one new
+        keyframe (synchronous form: dispatch + finish back-to-back; the
+        engine's async path defers the finishes and interleaves tracked
+        frames — see System._pump_background)."""
         pending = self.dispatch_detect(state, db, kf_slot, kf_order)
         if pending is None:
             return state, db
-        return self.finish_detect(state, db, pending, kf_order)
+        state, db = self.finish_detect(state, db, pending, kf_order)
+        if self.gba_requested:
+            self.gba_requested = False
+            gba = self.dispatch_global_ba(state, kf_order)
+            state = self.finish_global_ba(state, gba, kf_order)
+        return state, db
 
     def dispatch_detect(self, state: MapState, db, kf_slot: int,
                         kf_order: List[int]):
@@ -310,6 +389,11 @@ class LoopCloser:
         self.last_loop_kf_order = len(kf_order)
         self.n_loops_closed += 1
         self.consistent_groups = []
+        # Supersede any in-flight global BA (reference aborts the running
+        # GBA thread when correcting a new loop, src/LoopClosing.cc:
+        # 455-470) and request a fresh one for this correction.
+        self.gba_idx += 1
+        self.gba_requested = self.run_global_ba
         return state, db
 
     # ------------------------------------------------------------------
@@ -527,10 +611,9 @@ class LoopCloser:
         state = self._optimize_essential_graph(
             state, kf_slot, cand, S_cm, kf_order, covis, pose_before
         )
-
-        # --- Global BA (reference RunGlobalBundleAdjustment, 10 iters) ---
-        if self.run_global_ba:
-            state = self._global_ba(state, kf_order)
+        # Global BA is NOT run here: finish_detect requests it and the
+        # engine schedules dispatch/finish as separate background units
+        # (reference spawns it on a 4th thread, src/LoopClosing.cc:631).
         return state
 
     # ------------------------------------------------------------------
@@ -620,13 +703,20 @@ class LoopCloser:
         return state._replace(kf_pose=kf_pose, mp_xyz=new_xyz)
 
     # ------------------------------------------------------------------
-    def _global_ba(self, state: MapState, kf_order):
-        """Full-map BA (reference GlobalBundleAdjustemnt via the GBA
-        thread, 10 LM iterations, first KF fixed). With a mesh configured
-        the solve is observation-sharded across it — XLA lowers the
-        segment-sums/CG dots to psum over ICI (parallel/dist_ba.py); the
-        single-GPU reference's counterpart is shelling out to the CUDA
-        pba_driver (src/Optimizer.cc:61-73)."""
+    def dispatch_global_ba(self, state: MapState, kf_order,
+                           kf_gen=None, mp_valid_host=None):
+        """Start the full-map BA (reference RunGlobalBundleAdjustment via
+        the GBA thread, 10 LM iterations, first KF fixed,
+        src/LoopClosing.cc:700-807) WITHOUT blocking: the jitted solve is
+        dispatched and its result arrays returned as device futures
+        inside a GBAPending. With a mesh configured the solve is
+        observation-sharded across it — XLA lowers the segment-sums/CG
+        dots to psum over ICI (parallel/dist_ba.py); the single-GPU
+        reference's counterpart is shelling out to the CUDA pba_driver
+        (src/Optimizer.cc:61-73).
+
+        kf_gen / mp_valid_host snapshots let finish_global_ba recognize
+        slots recycled while the solve was in flight."""
         problem, cam_slots, pt_slots = gather_global_ba_problem(
             state, kf_order[0], 1.0 / jnp.asarray(self.cfg.level_sigma2),
         )
@@ -642,8 +732,64 @@ class LoopCloser:
             result = jax.tree.map(lambda x: jax.device_put(x, dev), result)
         else:
             result = ba.bundle_adjust(problem, self.cam, lm_iters=10, cg_iters=20)
-        return local_mapping.scatter_ba_result(
-            state, result, problem, cam_slots, pt_slots
+        return GBAPending(
+            idx=self.gba_idx,
+            result=result,
+            kfs=list(kf_order),
+            kf_gen_snap=(np.asarray(kf_gen).copy()
+                         if kf_gen is not None else None),
+            pt_snap=(np.asarray(mp_valid_host).copy()
+                     if mp_valid_host is not None else None),
+        )
+
+    def finish_global_ba(self, state: MapState, pending: "GBAPending",
+                         kf_order, kf_gen=None, mp_valid_host=None):
+        """Apply a finished global BA — unless superseded — and propagate
+        the correction to keyframes/points created while it ran (the
+        reference's spanning-tree catch-up, src/LoopClosing.cc:734-795).
+
+        Keyframes in the solve whose slot generation is unchanged take
+        their GBA pose directly. Keyframes created afterwards chain off
+        their predecessor in insertion order: T_corr = T_cur @
+        T_parent_cur^-1 @ T_parent_corr (the engine's spanning tree IS
+        the temporal chain). Points from the solve take their optimized
+        positions; newer points re-anchor through their reference
+        keyframe's (old, corrected) pose pair (reference :771-795)."""
+        if pending.idx != self.gba_idx:
+            return state  # superseded by a newer loop (mnFullBAIdx)
+        K = state.kf_valid.shape[0]
+        P = state.mp_valid.shape[0]
+        live = [s for s in kf_order]
+        in_solve = set(pending.kfs)
+        gen_ok = (
+            (lambda s: True) if (kf_gen is None or pending.kf_gen_snap is None)
+            else (lambda s: int(kf_gen[s]) == int(pending.kf_gen_snap[s]))
+        )
+        kf_apply = np.zeros(K, bool)
+        chain_child, chain_parent = [], []
+        prev = None
+        for s in live:
+            if s in in_solve and gen_ok(s):
+                kf_apply[s] = True
+            elif prev is not None:
+                chain_child.append(s)
+                chain_parent.append(prev)
+            prev = s
+        if pending.pt_snap is not None and mp_valid_host is not None:
+            pt_apply = pending.pt_snap & np.asarray(mp_valid_host)
+        else:
+            pt_apply = np.ones(P, bool)
+        pad = 8
+        while pad < len(chain_child):
+            pad *= 2
+        cc = np.full(pad, -1, np.int32)
+        cp = np.full(pad, -1, np.int32)
+        cc[: len(chain_child)] = chain_child
+        cp[: len(chain_parent)] = chain_parent
+        return _apply_gba(
+            state, pending.result.cam_pose, pending.result.xyz,
+            jnp.asarray(kf_apply), jnp.asarray(pt_apply),
+            jnp.asarray(cc), jnp.asarray(cp),
         )
 
 

@@ -49,9 +49,10 @@ def relocalize(
 
     from ..solvers import pnp as pnp_solver
 
-    sig2 = jnp.asarray(
-        [1.2 ** (2 * i) for i in range(8)], jnp.float32
-    )
+    # Per-level sigma2 from the configured pyramid scales (reference
+    # mvLevelSigma2, used at src/PnPsolver.cc:94-99).
+    sig2 = jnp.asarray(scale_factors, jnp.float32) ** 2
+    max_oct = sig2.shape[0] - 1
 
     for kf in cands:
         # BoW matching against the candidate's bound map points
@@ -72,7 +73,7 @@ def relocalize(
         Xw = state.mp_xyz[jnp.clip(kf_mp, 0)]
         uv = frame.uv[jnp.clip(m.idx, 0)]
         oct_f = frame.oct[jnp.clip(m.idx, 0)]
-        err_th2 = 5.991 * sig2[jnp.clip(oct_f, 0, 7)]
+        err_th2 = 5.991 * sig2[jnp.clip(oct_f, 0, max_oct)]
         res = pnp_solver.solve_pnp_ransac(
             Xw, uv, ok_pair & kf_has, err_th2, cam,
             jax.random.PRNGKey(kf),

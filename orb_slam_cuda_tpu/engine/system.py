@@ -255,7 +255,22 @@ class System:
         self._next_kf_slot = 0
         self.frame_id: int = 0
         self.frames_since_kf: int = 0
-        self.trajectory: List[tuple] = []  # (timestamp, Tcw 4x4 np, ok)
+        # Per-frame records (timestamp, Tcw_abs|None, ok, ref_slot,
+        # ref_gen, Tcr|None). Tracked frames store their pose RELATIVE to
+        # the reference keyframe (Tcr = Tcw @ Twc_ref at track time) so
+        # loop-closure / GBA keyframe corrections propagate to the whole
+        # exported trajectory at save time — the reference's
+        # mlRelativeFramePoses + mlpReferences scheme
+        # (src/Tracking.cc:554-576, src/System.cc:361-430). ref_slot=-1
+        # means "absolute only" (init frames, relocalization frames).
+        self.trajectory: List[tuple] = []
+        # Slot allocation generation: keyframe slots are recycled after
+        # culling, so a trajectory record is only recomposed against slot
+        # poses when the slot still holds the SAME keyframe (generation
+        # match); otherwise the frozen absolute pose is used (the
+        # reference instead walks the spanning tree to a live parent,
+        # src/System.cc:392-403 — generations are the array-native guard).
+        self.kf_gen = np.zeros(config.max_keyframes, np.int64)
         self.kf_timestamps = {}
         self.localization_only = False
         self.stats = TrackStats()
@@ -364,7 +379,9 @@ class System:
             self.last_frame = frame._replace(mp=res.mp)
             self.stats.n_tracked += 1
             self.frames_since_kf += 1
-            self.trajectory.append((ts, pose.copy(), True))
+            self._append_traj(
+                ts, pose, True, self.ref_kf, vec[25:41].reshape(4, 4)
+            )
             if (
                 not self.localization_only
                 and fid >= self._kf_barrier
@@ -381,11 +398,11 @@ class System:
         # likewise loses every frame between losing track and successful
         # relocalization, src/Tracking.cc:379-382). The next incoming
         # frame goes through the synchronous path and relocalizes.
-        self.trajectory.append((ts, None, False))
+        self._append_traj(ts, None, False)
         self.stats.n_lost += 1
         while self._pending:
             _, ts2, _, _ = self._pending.popleft()
-            self.trajectory.append((ts2, None, False))
+            self._append_traj(ts2, None, False)
             self.stats.n_frames += 1
             self.stats.n_lost += 1
         self.tracking_state = TrackingState.LOST
@@ -412,7 +429,7 @@ class System:
             frame = self._stereo_frame_fn(left, right)
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
-            self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
+            self._append_traj(timestamp, pose, pose is not None)
             self.frame_id += 1
             return pose
         pose = self._track(frame, timestamp)
@@ -430,7 +447,7 @@ class System:
             )
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
-            self.trajectory.append((timestamp, pose.copy() if pose is not None else None, pose is not None))
+            self._append_traj(timestamp, pose, pose is not None)
             self.frame_id += 1
             return pose
         pose = self._track(frame, timestamp)
@@ -478,6 +495,7 @@ class System:
         self.db = keyframe_db.insert(self.db, slot, wu, wt)
         self.state = st
         self.kf_order = [slot]
+        self.kf_gen[slot] += 1
         self._next_kf_slot = 1
         self.mapper._next_pt_slot = len(sel)
         self.mapper.mp_valid_host[:] = False
@@ -500,14 +518,13 @@ class System:
             TrackingState.NOT_INITIALIZED,
         ):
             pose = self._try_initialize(frame)
-            self.trajectory.append(
-                (timestamp, pose.copy() if pose is not None else None,
-                 pose is not None)
-            )
+            self._append_traj(timestamp, pose, pose is not None)
             return pose
 
         ok = False
         pose = None
+        ref_pose = None
+        ref_slot_frame = -1
         if self.tracking_state == TrackingState.OK:
             # Fused one-dispatch tracking step (motion model + ref-KF
             # fallback + local map + stats); the host pulls one scalar
@@ -548,8 +565,14 @@ class System:
             self.close_untracked = int(scal[8])
             if ok:
                 pose = vec[9:25].reshape(4, 4).copy()
+                # Pair the ref POSE with the ref SLOT as of this fused
+                # step: _create_keyframe below moves self.ref_kf to the
+                # new keyframe, which vec[25:41] does not describe.
+                ref_pose = vec[25:41].reshape(4, 4).copy()
+                ref_slot_frame = int(scal[2])
                 self.last_frame = frame._replace(mp=res.mp)
         if self.tracking_state == TrackingState.LOST or not ok:
+            ref_pose = None
             pose, ok = self._relocalize(frame)
             if ok:
                 self.stats.n_reloc += 1
@@ -594,8 +617,9 @@ class System:
             if 0 < len(self.kf_order) <= 5 and not self.localization_only:
                 self.reset()
 
-        self.trajectory.append(
-            (timestamp, pose.copy() if ok else None, bool(ok))
+        self._append_traj(
+            timestamp, pose if ok else None, bool(ok),
+            ref_slot_frame if ref_pose is not None else -1, ref_pose,
         )
         # Any synchronous track invalidates the device-side recurrence;
         # the next pipelined dispatch rebases from host state.
@@ -719,6 +743,8 @@ class System:
         self.state = st
         self.db = db
         self.kf_order = [slot1, slot2]
+        self.kf_gen[slot1] += 1
+        self.kf_gen[slot2] += 1
         self._next_kf_slot = 2
         self.recent_pts = [(int(p), 2) for p in pt_slots]
         self.mapper._next_pt_slot = int(pt_slots[-1]) + 1
@@ -835,6 +861,25 @@ class System:
                 self.state, self.db = self.loop_closer.finish_detect(
                     self.state, self.db, unit[1], self.kf_order
                 )
+            if self.loop_closer.gba_requested:
+                # The reference's 4th (GBA) thread, split into dispatch
+                # and apply units so tracked frames interleave
+                # (src/LoopClosing.cc:631,700-807).
+                self.loop_closer.gba_requested = False
+                self._bg.append(("gba_dispatch",))
+        elif kind == "gba_dispatch":
+            with self.timer.stage("timesMapping.csv", "gba_dispatch"):
+                pending = self.loop_closer.dispatch_global_ba(
+                    self.state, self.kf_order, self.kf_gen,
+                    self.mapper.mp_valid_host,
+                )
+            self._bg.append(("gba_finish", pending))
+        elif kind == "gba_finish":
+            with self.timer.stage("timesMapping.csv", "gba_finish"):
+                self.state = self.loop_closer.finish_global_ba(
+                    self.state, unit[1], self.kf_order, self.kf_gen,
+                    self.mapper.mp_valid_host,
+                )
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: FrameData) -> bool:
@@ -897,6 +942,9 @@ class System:
         new_K = self.state.kf_valid.shape[0] * 2
         self.state = mstate.grow_keyframes(self.state, new_K)
         self.db = keyframe_db.grow(self.db, new_K)
+        self.kf_gen = np.concatenate(
+            [self.kf_gen, np.zeros(new_K - len(self.kf_gen), np.int64)]
+        )
         self.cfg.max_keyframes = new_K
         self.map_cfg = self.map_cfg._replace(max_keyframes=new_K)
         self.mapper.cfg = self.map_cfg
@@ -960,6 +1008,7 @@ class System:
         pos = np.searchsorted(free, self._next_kf_slot)
         free = np.concatenate([free[pos:], free[:pos]])
         slot = int(free[0])
+        self.kf_gen[slot] += 1
         self._next_kf_slot = (slot + 1) % self.cfg.max_keyframes
         # In pipelined mode the retired frame's bindings were computed
         # against the map as of its dispatch, L frames ago; intervening
@@ -1031,11 +1080,42 @@ class System:
         self.recent_pts.extend((int(p), born) for p in slots[:n_used])
 
     # ------------------------------------------------------------------
+    def _append_traj(self, ts, pose, ok, ref_slot=-1, ref_pose=None):
+        """Record one frame for trajectory export. With a reference
+        keyframe pose, store the frame relative to it (Tcr) so later map
+        corrections re-pose the frame at export time."""
+        Tcr = None
+        gen = -1
+        if ok and ref_slot >= 0 and ref_pose is not None:
+            Tcr = np.asarray(pose, np.float64) @ np.linalg.inv(
+                np.asarray(ref_pose, np.float64)
+            )
+            gen = int(self.kf_gen[ref_slot])
+        self.trajectory.append(
+            (ts, pose.copy() if pose is not None else None, bool(ok),
+             int(ref_slot) if Tcr is not None else -1, gen, Tcr)
+        )
+
     def get_trajectory(self):
         """[(timestamp, Tcw or None, ok)] for export (reference
-        SaveTrajectoryTUM/KITTI source data, src/System.cc:361-511)."""
+        SaveTrajectoryTUM/KITTI source data, src/System.cc:361-511).
+        Frames recorded relative to a reference keyframe are recomposed
+        against that keyframe's CURRENT pose, so loop-closure and
+        global-BA corrections retroactively fix the whole trajectory
+        (reference src/System.cc:392-430)."""
         self._flush_pipeline()
-        return self.trajectory
+        kf_pose = np.asarray(self.state.kf_pose, np.float64)
+        live = set(self.kf_order)
+        out = []
+        for ts, pose, ok, ref_slot, ref_gen, Tcr in self.trajectory:
+            if (
+                ok and ref_slot >= 0 and ref_slot in live
+                and ref_slot < len(self.kf_gen)
+                and int(self.kf_gen[ref_slot]) == ref_gen
+            ):
+                pose = (Tcr @ kf_pose[ref_slot]).astype(np.float32)
+            out.append((ts, pose, ok))
+        return out
 
     def tracked_ratio(self):
         return self.stats.n_tracked / max(self.stats.n_frames, 1)
@@ -1102,18 +1182,18 @@ class System:
             self.loop_closer.consistent_groups = []
             self.loop_closer.last_loop_kf_order = 0
             self.loop_closer.loop_edges = []
+            self.loop_closer.gba_idx += 1  # supersede any in-flight GBA
+            self.loop_closer.gba_requested = False
 
     def save_trajectory_tum(self, path: str):
         from ..io import trajectory as traj_io
 
-        self._flush_pipeline()
-        traj_io.save_trajectory_tum(self.trajectory, path)
+        traj_io.save_trajectory_tum(self.get_trajectory(), path)
 
     def save_trajectory_kitti(self, path: str):
         from ..io import trajectory as traj_io
 
-        self._flush_pipeline()
-        traj_io.save_trajectory_kitti(self.trajectory, path)
+        traj_io.save_trajectory_kitti(self.get_trajectory(), path)
 
     def save_keyframe_trajectory_tum(self, path: str):
         from ..io import trajectory as traj_io

@@ -35,6 +35,17 @@ MIN_MATCHES_REF_KF = 15  # :849
 MIN_INLIERS_LOCAL = 30  # :1049
 
 
+def inv_level_sigma2(scale_factors, octave):
+    """Per-observation information weight 1/sigma2[octave] from the
+    configured pyramid scales (reference mvInvLevelSigma2,
+    src/ORBextractor.cc ctor; used at src/Optimizer.cc:394-411) — NOT a
+    hardcoded 1.2 table, so non-default scale_factor configs weight
+    correctly."""
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    sigma2 = sf * sf
+    return 1.0 / sigma2[jnp.clip(octave, 0, sf.shape[0] - 1)]
+
+
 class TrackCarry(NamedTuple):
     """Device-resident tracking recurrence: everything frame n+1's fused
     step needs from frame n, kept on device so the steady-state tracking
@@ -96,7 +107,9 @@ def track_motion_model(
         jnp.where(ok, last_mp, mp_new[jnp.clip(m.idx, 0)])
     )
     n_matches = jnp.sum(ok)
-    pose, mp_out, n_inl = _optimize_and_prune(state, frame, pose_pred, mp_new, cam)
+    pose, mp_out, n_inl = _optimize_and_prune(
+        state, frame, pose_pred, mp_new, cam, scale_factors
+    )
     return pose, mp_out, n_matches, n_inl
 
 
@@ -107,6 +120,7 @@ def track_reference_kf(
     pose_init,
     ref_kf,
     cam: Camera,
+    scale_factors,
 ):
     """TrackReferenceKeyFrame (reference src/Tracking.cc:830-875):
     BoW-gated matching against the reference keyframe's map points, then
@@ -127,19 +141,19 @@ def track_reference_kf(
         jnp.where(ok, kf_mp, mp_new[jnp.clip(m.idx, 0)])
     )
     n_matches = jnp.sum(ok)
-    pose, mp_out, n_inl = _optimize_and_prune(state, frame, pose_init, mp_new, cam)
+    pose, mp_out, n_inl = _optimize_and_prune(
+        state, frame, pose_init, mp_new, cam, scale_factors
+    )
     return pose, mp_out, n_matches, n_inl
 
 
-def _optimize_and_prune(state, frame, pose0, mp, cam):
+def _optimize_and_prune(state, frame, pose0, mp, cam, scale_factors):
     """Pose-only LM on current bindings + unbind chi2 outliers
     (the reference deletes outlier mvpMapPoints after PoseOptimization,
     src/Tracking.cc:986-999)."""
     bound = (mp >= 0) & frame.valid
     Xw = state.mp_xyz[jnp.clip(mp, 0)]
-    inv_sigma2 = 1.0 / jnp.asarray(
-        [1.2 ** (2 * i) for i in range(8)], jnp.float32
-    )[jnp.clip(frame.oct, 0, 7)]
+    inv_sigma2 = inv_level_sigma2(scale_factors, frame.oct)
     res = pose_opt.optimize_pose(
         pose0, Xw, frame.uv, frame.right, inv_sigma2, bound, cam
     )
@@ -197,9 +211,7 @@ def track_vo_last_frame(
     j = jnp.clip(m.idx, 0)
     Xw_f = Xw_f.at[j].set(jnp.where(ok[:, None], Xw, Xw_f[j]))
     bound = bound.at[j].set(ok | bound[j])
-    inv_sigma2 = 1.0 / jnp.asarray(
-        [1.2 ** (2 * i) for i in range(8)], jnp.float32
-    )[jnp.clip(frame.oct, 0, 7)]
+    inv_sigma2 = inv_level_sigma2(scale_factors, frame.oct)
     res = pose_opt.optimize_pose(
         pose_pred, Xw_f, frame.uv, frame.right, inv_sigma2,
         bound & frame.valid, cam,
@@ -304,19 +316,25 @@ def track_local_map(
     mp_new = frame.mp.at[jnp.clip(m.idx, 0)].set(
         jnp.where(ok, pt_ids, frame.mp[jnp.clip(m.idx, 0)])
     )
-    pose2, mp_out, n_inl = _optimize_and_prune(state, frame, pose, mp_new, cam)
+    pose2, mp_out, n_inl = _optimize_and_prune(
+        state, frame, pose, mp_new, cam, scale_factors
+    )
     n_visible = jnp.sum(visible)
     return pose2, mp_out, n_inl, n_visible, visible
 
 
 class FullStepResult(NamedTuple):
     """Output of the fused per-frame step. `host_vec` is the ONE array
-    the host pulls per frame — float32 (25,): the 9 state-machine
+    the host pulls per frame — float32 (41,): the 9 state-machine
     scalars [track_ok, n_inliers_local, ref_kf, ref_tracked,
     n_matches_mm, n_inl_mm, used_fallback, n_tracked_close,
-    n_nontracked_close] followed by the 4x4 pose (row-major). Through a
+    n_nontracked_close] followed by the 4x4 frame pose (row-major) and
+    the 4x4 current pose of the reference keyframe (the host stores the
+    frame RELATIVE to it, so loop/GBA corrections propagate to the
+    exported trajectory — reference src/Tracking.cc:554-576 +
+    System::SaveTrajectoryTUM src/System.cc:361-430). Through a
     high-latency link every device->host transfer costs a round trip,
-    so the scalars and the pose ride one transfer. `scalars`/`pose`
+    so the scalars and the poses ride one transfer. `scalars`/`pose`
     stay on device for chaining."""
 
     pose: jnp.ndarray
@@ -391,7 +409,7 @@ def full_track_step(
 
     def fallback(_):
         return track_reference_kf.__wrapped__(
-            state, frame, pose_last, ref_kf, cam
+            state, frame, pose_last, ref_kf, cam, scale_factors
         )
 
     pose2, mp2, n_m2, n_i2 = jax.lax.cond(ok1, keep, fallback, None)
@@ -443,7 +461,8 @@ def full_track_step(
         ]
     )
     host_vec = jnp.concatenate(
-        [scalars.astype(jnp.float32), pose3.reshape(16)]
+        [scalars.astype(jnp.float32), pose3.reshape(16),
+         state.kf_pose[ref_kf_new].reshape(16)]
     )
     return FullStepResult(
         pose=pose3, mp=mp3, mp_visible=mp_visible, mp_found=mp_found,

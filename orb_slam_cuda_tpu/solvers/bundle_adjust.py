@@ -129,7 +129,26 @@ def bundle_adjust(
     E = problem.obs_cam.shape[0]
     ci = jnp.clip(problem.obs_cam, 0)
     pi = jnp.clip(problem.obs_pt, 0)
-    cam_free = ~problem.cam_fixed
+    # Freeze under-constrained variables: a point's 3 DOF need >=3
+    # residual dimensions (two mono observations, or one stereo — the
+    # reference culls <2-obs mono points outright, src/LocalMapping.cc:
+    # 197-235 / MapPoint::SetBadFlag); a camera with no observations has
+    # no business moving. Optimizing them anyway lets CG push them
+    # arbitrarily (their normal-equation block is ~zero) — the runaway
+    # ends in float32 overflow.
+    ov = problem.obs_valid.astype(jnp.int32)
+    nres = ov * jnp.where(problem.obs_ur >= 0, 3, 2)
+    nobs_cam = jnp.zeros((C,), jnp.int32).at[ci].add(ov)
+    nres_pt = jnp.zeros((P,), jnp.int32).at[pi].add(nres)
+    cam_free = ~problem.cam_fixed & (nobs_cam > 0)
+    pt_free = problem.pt_valid & (nres_pt >= 3)
+    # Absolute damping floor: relative damping lam*diag(H) vanishes for
+    # weakly-observed blocks (diag ~ w_rob * J^2 -> 0 as a robustly
+    # downweighted point recedes: J ~ 1/z), which makes the runaway
+    # SELF-REINFORCING — each step doubles the distance. The floor is
+    # negligible against well-constrained diagonals (~1e3..1e7) but
+    # breaks the feedback loop.
+    ABS_DAMP = 1e-3
 
     def build_system(cam_pose, xyz):
         r, Jc, Jp, depth_ok, is_stereo = _residuals_jacobians(problem, cam_pose, xyz, cam)
@@ -157,21 +176,20 @@ def bundle_adjust(
         Hpp = jnp.zeros((P, 3, 3)).at[pi].add(jnp.einsum("eki,ekj,e->eij", Jpw, Jpw, w))
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
         dp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-        # Blockwise LM damping: H + lam * diag(H).
-        Hcc_d = Hcc + lam * jnp.maximum(dc, 1e-6)[:, :, None] * jnp.eye(6)[None]
-        Hpp_d = Hpp + lam * jnp.maximum(dp, 1e-6)[:, :, None] * jnp.eye(3)[None]
+        # Blockwise LM damping: H + lam * diag(H) + absolute floor.
+        lam_dc = lam * jnp.maximum(dc, 1e-6) + ABS_DAMP  # (C,6) diag terms
+        lam_dp = lam * jnp.maximum(dp, 1e-6) + ABS_DAMP
+        Hcc_d = Hcc + lam_dc[:, :, None] * jnp.eye(6)[None]
+        Hpp_d = Hpp + lam_dp[:, :, None] * jnp.eye(3)[None]
         Minv_c = jnp.linalg.inv(Hcc_d + 1e-8 * jnp.eye(6)[None])
         Minv_p = jnp.linalg.inv(Hpp_d + 1e-8 * jnp.eye(3)[None])
         Minv_c = jnp.where(cam_free[:, None, None], Minv_c, 0.0)
-        Minv_p = jnp.where(problem.pt_valid[:, None, None], Minv_p, 0.0)
-
-        lam_dc = lam * jnp.maximum(dc, 1e-6)  # (C,6) diag damping terms
-        lam_dp = lam * jnp.maximum(dp, 1e-6)
+        Minv_p = jnp.where(pt_free[:, None, None], Minv_p, 0.0)
 
         def matvec(xc, xp):
             """(H + lam D) x restricted to free variables."""
             xc = jnp.where(cam_free[:, None], xc, 0.0)
-            xp = jnp.where(problem.pt_valid[:, None], xp, 0.0)
+            xp = jnp.where(pt_free[:, None], xp, 0.0)
             ye = jnp.einsum("eki,ei->ek", Jcw, xc[ci]) + jnp.einsum(
                 "eki,ei->ek", Jpw, xp[pi]
             )  # (E,3)
@@ -180,7 +198,7 @@ def bundle_adjust(
             yc = yc + lam_dc * xc
             yp = yp + lam_dp * xp
             yc = jnp.where(cam_free[:, None], yc, 0.0)
-            yp = jnp.where(problem.pt_valid[:, None], yp, 0.0)
+            yp = jnp.where(pt_free[:, None], yp, 0.0)
             return yc, yp
 
         def precond(rc, rp):
@@ -191,7 +209,7 @@ def bundle_adjust(
 
         # PCG for (H + lam D) dx = -b.
         bc_f = jnp.where(cam_free[:, None], -bc, 0.0)
-        bp_f = jnp.where(problem.pt_valid[:, None], -bp, 0.0)
+        bp_f = jnp.where(pt_free[:, None], -bp, 0.0)
         xc0 = jnp.zeros_like(bc_f)
         xp0 = jnp.zeros_like(bp_f)
         rc, rp = bc_f, bp_f
@@ -221,11 +239,14 @@ def bundle_adjust(
 
         # Apply candidate update.
         xc = jnp.where(cam_free[:, None], xc, 0.0)
-        xp = jnp.where(problem.pt_valid[:, None], xp, 0.0)
+        xp = jnp.where(pt_free[:, None], xp, 0.0)
         new_pose = jax.vmap(se3.retract)(cam_pose, xc)
         new_xyz = xyz + xp
         _, _, _, _, _, err_new, _, _ = build_system(new_pose, new_xyz)
-        improved = err_new < err
+        # Finite guard: float32 overflow in a diverged step must never be
+        # accepted (NaN < x is False already; this also rejects -inf/inf
+        # artifacts so they cannot poison later iterations).
+        improved = (err_new < err) & jnp.isfinite(err_new)
         cam_pose = jnp.where(improved, new_pose, cam_pose)
         xyz = jnp.where(improved, new_xyz, xyz)
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-9, 1e6)
@@ -242,5 +263,19 @@ def bundle_adjust(
     chi2 = _chi2(r, problem.obs_inv_sigma2, is_stereo)
     th = jnp.where(is_stereo, chi2_outlier_stereo, chi2_outlier_mono)
     inlier = problem.obs_valid & depth_ok & (chi2 <= th)
+    # A point whose final position explains NONE of its observations is a
+    # failed optimization (typically a robustly-downweighted outlier that
+    # drifted): revert it to its input position and let its (pruned)
+    # observations + MapPointCulling dispose of it — the reference
+    # equivalent of g2o erasing all the point's edges, after which the
+    # <2-obs point is SetBadFlag'd (src/LocalMapping.cc:197-235). Its
+    # inlier classification stays as computed (all outliers -> pruned).
+    pt_has_inl = jnp.zeros((P,), bool).at[pi].max(inlier)
+    keep = (pt_has_inl | ~pt_free)[:, None]
+    xyz = jnp.where(keep, xyz, problem.xyz)
+    # Belt-and-braces: never emit non-finite variables.
+    xyz = jnp.where(jnp.all(jnp.isfinite(xyz), -1, keepdims=True), xyz, problem.xyz)
+    pose_ok = jnp.all(jnp.isfinite(cam_pose), axis=(-2, -1))[:, None, None]
+    cam_pose = jnp.where(pose_ok, cam_pose, problem.cam_pose)
     _, _, _, _, _, err, _, _ = build_system(cam_pose, xyz)
     return BAResult(cam_pose=cam_pose, xyz=xyz, obs_inlier=inlier, final_error=err)

@@ -142,22 +142,27 @@ class PlanarScene:
         return left, right
 
 
-def room_scene(rng, half_size: float = 8.0, tex_size: int = 1024):
-    """A square room of four textured walls (camera inside). The classic
-    loop-closure scenario: yaw around the room sees each wall in turn and
-    returns to the start view."""
+def room_scene(rng, half_size: float = 8.0, tex_size: int = 1024,
+               n_walls: int = 4):
+    """A regular-polygon room of textured walls (camera inside). The
+    classic loop-closure scenario: yaw around the room sees each wall in
+    turn and returns to the start view. `half_size` is the apothem (wall
+    distance from the center); n_walls=4 is the original square room,
+    higher counts give shallower corners (easier continuous tracking
+    through the turn, like a real loop trajectory's gentle curvature)."""
     L = half_size
+    half_w = L * np.tan(np.pi / n_walls)  # half wall width
+    scale = 2 * L / tex_size  # meters per texel (walls are 2L tall)
+    tex_w = max(64, int(round(tex_size * half_w / L)))
+    ev = np.array([0.0, 1.0, 0.0])  # y down
     walls = []
-    defs = [
-        # (origin, eu, ev) each wall spans 2L x 2L; y down.
-        ([-L, -L, L], [1.0, 0, 0], [0, 1.0, 0]),  # front (z=+L)
-        ([L, -L, L], [0, 0, -1.0], [0, 1.0, 0]),  # right (x=+L)
-        ([L, -L, -L], [-1.0, 0, 0], [0, 1.0, 0]),  # back (z=-L)
-        ([-L, -L, -L], [0, 0, 1.0], [0, 1.0, 0]),  # left (x=-L)
-    ]
-    for origin, eu, ev in defs:
-        tex = make_texture(tex_size, tex_size, rng)
-        walls.append(Plane(origin, eu, ev, tex, 2 * L / tex_size))
+    for k in range(n_walls):
+        phi = 2 * np.pi * k / n_walls
+        d = np.array([np.sin(phi), 0.0, np.cos(phi)])  # outward normal
+        eu = np.array([np.cos(phi), 0.0, -np.sin(phi)])  # wall tangent
+        origin = L * d - half_w * eu - L * ev
+        tex = make_texture(tex_size, tex_w, rng)
+        walls.append(Plane(origin, eu, ev, tex, scale))
     return PlanarScene(walls)
 
 

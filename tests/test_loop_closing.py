@@ -255,8 +255,12 @@ class TestLoopClosing:
         kf_order = list(range(16))
         lc_single = LoopCloser(CFG, CAM, vocab)
         lc_mesh = LoopCloser(CFG, CAM, vocab, mesh=make_mesh(8))
-        st_single = lc_single._global_ba(st, kf_order)
-        st_mesh = lc_mesh._global_ba(st, kf_order)
+        st_single = lc_single.finish_global_ba(
+            st, lc_single.dispatch_global_ba(st, kf_order), kf_order
+        )
+        st_mesh = lc_mesh.finish_global_ba(
+            st, lc_mesh.dispatch_global_ba(st, kf_order), kf_order
+        )
         np.testing.assert_allclose(
             np.asarray(st_mesh.kf_pose), np.asarray(st_single.kf_pose),
             atol=5e-4,

@@ -1,4 +1,10 @@
-"""Prototype: drive System around a textured room and check loop closure.
+"""Drive System around a textured room and A/B loop closure on/off.
+
+The octagonal-room two-lap fixture (shallow corners keep tracking alive
+through the turns — a square room's 90-degree corners lose it at the
+first corner). Expected (N=200): loop on closes 2 loops and roughly
+halves ATE vs loop off. tests/test_loop_e2e.py gates a shortened
+single-run version of this in CI.
 
 Usage: JAX_PLATFORMS=cpu python tools/try_loop.py [n_frames]
 """
@@ -26,14 +32,14 @@ from orb_slam_cuda_tpu.utils import synthetic
 from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
 
 W, H = 320, 240
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 110
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
 
 def run(enable_loop):
     rng = np.random.default_rng(7)
     cam = Camera.create(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, width=W, height=H)
-    scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768)
-    poses = synthetic.loop_trajectory(N, radius=2.5, overshoot=0.2)
+    scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768, n_walls=8)
+    poses = synthetic.loop_trajectory(N, radius=2.5, overshoot=1.0)
     cfg = SystemConfig(
         camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
         max_keyframes=128, max_points=16384,
