@@ -1,2 +1,6 @@
 from .mesh import make_mesh  # noqa: F401
-from .dist_ba import distributed_bundle_adjust, shard_problem  # noqa: F401
+from .dist_ba import (  # noqa: F401
+    distributed_bundle_adjust,
+    partition_problem,
+    solve_partitioned,
+)

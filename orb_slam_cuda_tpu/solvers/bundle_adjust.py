@@ -21,8 +21,12 @@ Fixed-gauge handling: `cam_fixed` cameras get zero updates (the
 reference fixes frontier keyframes in local BA, src/Optimizer.cc:612-637,
 and keyframe 0 globally, :147).
 
-The E (observation) axis is the distributed axis: parallel/dist_ba.py
-shards it across devices and psums the segment-sums and CG dot products.
+Distribution (parallel/dist_ba.py): points are partitioned into
+contiguous blocks, one per device, and every observation travels with
+its point's block, so the E and P axes are both device-local under
+`shard_map`. Passing `axis_name` makes the camera-sized reductions and
+the point terms of the CG dot products `psum` across the mesh — O(C)
+wire traffic per iteration, nothing point- or observation-sized.
 """
 
 from __future__ import annotations
@@ -114,8 +118,7 @@ def _robust_weight(chi2, is_stereo, robust):
     return jnp.where(robust & (e > d), d / e, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("lm_iters", "cg_iters", "robust"))
-def bundle_adjust(
+def bundle_adjust_impl(
     problem: BAProblem,
     cam: Camera,
     lm_iters: int = 10,
@@ -123,7 +126,21 @@ def bundle_adjust(
     robust: bool = True,
     chi2_outlier_mono: float = CHI2_MONO,
     chi2_outlier_stereo: float = CHI2_STEREO,
+    axis_name: str | None = None,
 ) -> BAResult:
+    """Core LM+PCG solve. With `axis_name` set the function runs as the
+    per-device body of a `shard_map` whose shards hold (a) a block of the
+    point axis and (b) ALL observations of those points (the contract
+    parallel/dist_ba.py's partitioner establishes). Point-side work is
+    then fully device-local; only camera-sized reductions (b_c, H_cc,
+    matvec y_c), the point terms of CG dot products, and the total error
+    cross devices as `psum` over `axis_name` — the per-iteration wire
+    traffic is O(C) + scalars, independent of points/observations."""
+    psum = (
+        (lambda x: jax.lax.psum(x, axis_name))
+        if axis_name is not None
+        else (lambda x: x)
+    )
     C = problem.cam_pose.shape[0]
     P = problem.xyz.shape[0]
     E = problem.obs_cam.shape[0]
@@ -138,7 +155,7 @@ def bundle_adjust(
     # ends in float32 overflow.
     ov = problem.obs_valid.astype(jnp.int32)
     nres = ov * jnp.where(problem.obs_ur >= 0, 3, 2)
-    nobs_cam = jnp.zeros((C,), jnp.int32).at[ci].add(ov)
+    nobs_cam = psum(jnp.zeros((C,), jnp.int32).at[ci].add(ov))
     nres_pt = jnp.zeros((P,), jnp.int32).at[pi].add(nres)
     cam_free = ~problem.cam_fixed & (nobs_cam > 0)
     pt_free = problem.pt_valid & (nres_pt >= 3)
@@ -160,19 +177,22 @@ def bundle_adjust(
         rw = r * comp
         Jcw = Jc * comp[..., None]
         Jpw = Jp * comp[..., None]
-        err = jnp.sum(jnp.where(use, chi2 * w_rob, 0.0))
+        err = psum(jnp.sum(jnp.where(use, chi2 * w_rob, 0.0)))
         return r, rw, Jcw, Jpw, w, err, is_stereo, use
 
     def lm_step(carry, _):
         cam_pose, xyz, lam = carry
         _, rw, Jcw, Jpw, w, err, _, _ = build_system(cam_pose, xyz)
 
-        # Gradient b = J^T W r.
-        bc = jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eki,ek,e->ei", Jcw, rw, w))
+        # Gradient b = J^T W r. Camera blocks gather contributions from
+        # every device's edges (psum); point blocks are device-local.
+        bc = psum(jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eki,ek,e->ei", Jcw, rw, w)))
         bp = jnp.zeros((P, 3)).at[pi].add(jnp.einsum("eki,ek,e->ei", Jpw, rw, w))
 
         # Block-diagonal of H for damping + preconditioner.
-        Hcc = jnp.zeros((C, 6, 6)).at[ci].add(jnp.einsum("eki,ekj,e->eij", Jcw, Jcw, w))
+        Hcc = psum(
+            jnp.zeros((C, 6, 6)).at[ci].add(jnp.einsum("eki,ekj,e->eij", Jcw, Jcw, w))
+        )
         Hpp = jnp.zeros((P, 3, 3)).at[pi].add(jnp.einsum("eki,ekj,e->eij", Jpw, Jpw, w))
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
         dp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
@@ -193,7 +213,9 @@ def bundle_adjust(
             ye = jnp.einsum("eki,ei->ek", Jcw, xc[ci]) + jnp.einsum(
                 "eki,ei->ek", Jpw, xp[pi]
             )  # (E,3)
-            yc = jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eki,ek,e->ei", Jcw, ye, w))
+            yc = psum(
+                jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eki,ek,e->ei", Jcw, ye, w))
+            )
             yp = jnp.zeros((P, 3)).at[pi].add(jnp.einsum("eki,ek,e->ei", Jpw, ye, w))
             yc = yc + lam_dc * xc
             yp = yp + lam_dp * xp
@@ -215,19 +237,21 @@ def bundle_adjust(
         rc, rp = bc_f, bp_f
         zc, zp = precond(rc, rp)
         pc, pp = zc, zp
-        rz = jnp.sum(rc * zc) + jnp.sum(rp * zp)
+        # Camera vectors are replicated (post-psum), so their dot terms
+        # are already global; only the sharded point terms need a psum.
+        rz = jnp.sum(rc * zc) + psum(jnp.sum(rp * zp))
 
         def cg_body(i, st):
             xc, xp, rc, rp, pc, pp, rz = st
             Apc, App = matvec(pc, pp)
-            pAp = jnp.sum(pc * Apc) + jnp.sum(pp * App)
+            pAp = jnp.sum(pc * Apc) + psum(jnp.sum(pp * App))
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-12, 1e-12, pAp)
             xc = xc + alpha * pc
             xp = xp + alpha * pp
             rc = rc - alpha * Apc
             rp = rp - alpha * App
             zc, zp = precond(rc, rp)
-            rz_new = jnp.sum(rc * zc) + jnp.sum(rp * zp)
+            rz_new = jnp.sum(rc * zc) + psum(jnp.sum(rp * zp))
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
             pc = zc + beta * pc
             pp = zp + beta * pp
@@ -279,3 +303,9 @@ def bundle_adjust(
     cam_pose = jnp.where(pose_ok, cam_pose, problem.cam_pose)
     _, _, _, _, _, err, _, _ = build_system(cam_pose, xyz)
     return BAResult(cam_pose=cam_pose, xyz=xyz, obs_inlier=inlier, final_error=err)
+
+
+bundle_adjust = jax.jit(
+    bundle_adjust_impl,
+    static_argnames=("lm_iters", "cg_iters", "robust", "axis_name"),
+)

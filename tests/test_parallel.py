@@ -48,16 +48,26 @@ class TestDistributedBA:
         errs = pose_errors(res, poses_true)
         assert errs.max() < 0.05
 
-    def test_mesh_shards_observations(self, rng):
-        from orb_slam_cuda_tpu.parallel.dist_ba import shard_problem
+    def test_mesh_partitions_points_and_edges(self, rng):
+        from orb_slam_cuda_tpu.parallel.dist_ba import partition_problem
 
         problem, _, _, cam = build_problem(rng, n_cams=4, n_pts=64, bf=50.0)
         mesh = make_mesh(8)
-        sharded = shard_problem(problem, mesh)
-        # Observation arrays sharded over 8 devices; state replicated.
-        assert len(sharded.obs_uv.sharding.device_set) == 8
-        assert not sharded.obs_uv.sharding.is_fully_replicated
-        assert sharded.cam_pose.sharding.is_fully_replicated
+        part = partition_problem(problem, mesh)
+        # Point + observation arrays sharded over 8 devices; camera state
+        # replicated.
+        assert len(part.local.obs_uv.sharding.device_set) == 8
+        assert not part.local.obs_uv.sharding.is_fully_replicated
+        assert not part.local.xyz.sharding.is_fully_replicated
+        assert part.local.cam_pose.sharding.is_fully_replicated
+        # Every observation was routed to the block owning its point:
+        # block-local point index within [0, pblk).
+        obs_pt = np.asarray(part.local.obs_pt)
+        valid = np.asarray(part.local.obs_valid)
+        assert (obs_pt[valid] >= 0).all() and (obs_pt[valid] < part.pblk).all()
+        # Round-trip of the permutation covers every original edge once.
+        src = np.asarray(part.obs_src)
+        assert sorted(src[src >= 0].tolist()) == list(range(part.n_obs))
 
 
 class TestMultihost:

@@ -1,11 +1,14 @@
 """Distributed-BA scaling curve: LM iterations/s at 1/2/4/8 devices.
 
-Runs the observation-sharded global-BA solve (parallel/dist_ba.py) on a
-KITTI-scale synthetic problem over meshes of increasing size and reports
-iterations/s + parallel efficiency. On this machine the devices are
-virtual CPU devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)
-sharing physical cores, so the curve measures the sharding overhead
-(collectives + partitioning), not multi-chip speedup — on real multi-chip
+Runs the point-block-partitioned global-BA solve (parallel/dist_ba.py,
+shard_map) on a KITTI-scale synthetic problem over meshes of increasing
+size and reports iterations/s + parallel efficiency. The problem is
+partitioned and placed ONCE per mesh (partition time reported
+separately); the timed loop is `solve_partitioned`, the resident path
+the engine uses. On this machine the devices are virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) sharing physical
+cores, so the curve measures the sharding overhead (collectives +
+per-device dispatch), not multi-chip speedup — on real multi-chip
 hardware the same program's psums ride ICI.
 
 Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -34,7 +37,11 @@ enable_compile_cache()
 
 from orb_slam_cuda_tpu.geometry import se3
 from orb_slam_cuda_tpu.geometry.camera import Camera
-from orb_slam_cuda_tpu.parallel import distributed_bundle_adjust, make_mesh
+from orb_slam_cuda_tpu.parallel import (
+    make_mesh,
+    partition_problem,
+    solve_partitioned,
+)
 from orb_slam_cuda_tpu.solvers import bundle_adjust as ba
 
 # KITTI-00-class problem: ~1.3k keyframes, 100k points, 600k observations.
@@ -101,14 +108,18 @@ def main():
         if n_dev > len(jax.devices()):
             break
         mesh = make_mesh(n_dev)
-        r = distributed_bundle_adjust(
-            problem, cam, mesh, lm_iters=LM_ITERS, cg_iters=CG_ITERS
+        tp0 = time.perf_counter()
+        part = partition_problem(problem, mesh)
+        jax.block_until_ready(part.local.obs_uv)
+        t_part = time.perf_counter() - tp0
+        r = solve_partitioned(
+            part, cam, mesh, lm_iters=LM_ITERS, cg_iters=CG_ITERS
         )
         jax.block_until_ready(r.cam_pose)  # compile
         t0 = time.perf_counter()
         for _ in range(REPS):
-            r = distributed_bundle_adjust(
-                problem, cam, mesh, lm_iters=LM_ITERS, cg_iters=CG_ITERS
+            r = solve_partitioned(
+                part, cam, mesh, lm_iters=LM_ITERS, cg_iters=CG_ITERS
             )
             jax.block_until_ready(r.cam_pose)
         dt = (time.perf_counter() - t0) / REPS
@@ -117,7 +128,8 @@ def main():
         eff = iters_s / (results[1] * n_dev) if 1 in results else 1.0
         print(
             f"devices={n_dev}: {dt*1e3:.1f} ms/solve, {iters_s:.2f} LM iters/s,"
-            f" efficiency={eff:.2f}, final_err={float(r.final_error):.1f}",
+            f" efficiency={eff:.2f}, partition={t_part*1e3:.0f} ms,"
+            f" final_err={float(r.final_error):.1f}",
             file=sys.stderr,
         )
     print(json.dumps({
