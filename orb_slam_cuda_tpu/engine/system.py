@@ -166,12 +166,15 @@ class System:
         import jax as _jax
 
         _cam = cam
-        _vocab = self.vocab
         _extract_impl = self.extractor._extract_impl
 
-        def _frame_fn(image):
+        # The vocabulary rides as a runtime ARGUMENT (registered pytree),
+        # not a closure constant: the stock ~1M-word vocab's arrays would
+        # otherwise be baked into every compiled program (~0.5 GB of HLO
+        # constants, rejected by remote compile).
+        def _frame_fn(image, voc):
             feats = _extract_impl(image)
-            return build_frame(feats, _cam, _vocab)
+            return build_frame(feats, _cam, voc)
 
         self._frame_fn = _jax.jit(_frame_fn)
 
@@ -184,10 +187,10 @@ class System:
             else tracking.MOTION_MODEL_RADIUS
         )
 
-        def _pipe_fn(state, image, carry, min_obs, th_depth):
+        def _pipe_fn(state, image, carry, min_obs, th_depth, voc):
             return tracking.fused_pipeline_step(
                 state, image, carry, min_obs,
-                _extract_impl, lambda feats: build_frame(feats, _cam, _vocab),
+                _extract_impl, lambda feats: build_frame(feats, _cam, voc),
                 _cam, _sf, _radius, th_depth,
             )
 
@@ -204,13 +207,13 @@ class System:
 
         _scale_factors_c = tuple(self.map_cfg.scale_factors)
 
-        def _stereo_frame_fn(left, right):
+        def _stereo_frame_fn(left, right, voc):
             from . import stereo as stereo_mod
             from ..ops import hamming as _hamming
 
             lf = _extract_impl(left)
             rf = _extract_impl(right)
-            frame = build_frame(lf, _cam, _vocab)
+            frame = build_frame(lf, _cam, voc)
             ur, depth = stereo_mod.match_stereo(
                 frame.uv, frame.oct, frame.bip, frame.valid,
                 rf.uv, rf.octave, _hamming.bipolar(rf.desc), rf.valid,
@@ -221,11 +224,11 @@ class System:
 
         self._stereo_frame_fn = _jax.jit(_stereo_frame_fn)
 
-        def _rgbd_frame_fn(image, depth_map, depth_factor):
+        def _rgbd_frame_fn(image, depth_map, depth_factor, voc):
             from . import stereo as stereo_mod
 
             feats = _extract_impl(image)
-            frame = build_frame(feats, _cam, _vocab)
+            frame = build_frame(feats, _cam, voc)
             depth = stereo_mod.depth_from_rgbd(
                 frame.uv_raw, frame.valid, depth_map, _cam, depth_factor
             )
@@ -301,7 +304,7 @@ class System:
                 return self._track_pipelined(image, timestamp)
         self._flush_pipeline()
         with self.timer.stage("times.csv", "orb_extract"):
-            frame = self._frame_fn(image)  # numpy in: jit transfers async
+            frame = self._frame_fn(image, self.vocab)  # numpy in: jit transfers async
         with self.timer.stage("timesTracking.csv", "track", sync=None):
             pose = self._track(frame, timestamp)
         self.frame_id += 1
@@ -319,8 +322,8 @@ class System:
         return tracking.TrackCarry(
             pose=jnp.asarray(np.asarray(self.last_pose, np.float32)),
             vel=jnp.asarray(np.asarray(vel, np.float32)),
-            uv=lf.uv, oct=lf.oct, ang=lf.ang, bip=lf.bip, mp=lf.mp,
-            ref_kf=jnp.int32(self.ref_kf),
+            uv=lf.uv, oct=lf.oct, ang=lf.ang, bip=lf.bip, depth=lf.depth,
+            mp=lf.mp, ref_kf=jnp.int32(self.ref_kf),
         )
 
     def _track_pipelined(self, image, timestamp):
@@ -336,7 +339,7 @@ class System:
         min_obs = 3 if len(self.kf_order) > 2 else 2
         frame, res, carry = self._pipe_fn(
             self.state, image, self._carry, np.int32(min_obs),
-            np.float32(self.th_depth),
+            np.float32(self.th_depth), self.vocab,
         )
         try:
             res.host_vec.copy_to_host_async()
@@ -426,7 +429,7 @@ class System:
         assert self.cfg.sensor == Sensor.STEREO
         self.timer.set_frame(self.frame_id)
         with self.timer.stage("times.csv", "orb_extract_stereo"):
-            frame = self._stereo_frame_fn(left, right)
+            frame = self._stereo_frame_fn(left, right, self.vocab)
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
             self._append_traj(timestamp, pose, pose is not None)
@@ -444,6 +447,7 @@ class System:
         with self.timer.stage("times.csv", "orb_extract_rgbd"):
             frame = self._rgbd_frame_fn(
                 image, depth_map, np.float32(self.cfg.depth_map_factor),
+                self.vocab,
             )
         if self.tracking_state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._depth_initialize(frame)
@@ -547,7 +551,7 @@ class System:
                 self.state, frame,
                 pose_pred.astype(np.float32),
                 self.last_pose.astype(np.float32),
-                lf.uv, lf.oct, lf.ang, lf.bip, lf.mp,
+                lf.uv, lf.oct, lf.ang, lf.bip, lf.mp, lf.depth,
                 np.int32(self.ref_kf), np.int32(min_obs),
                 self.cam, self.scale_factors, radius,
                 np.float32(self.th_depth),

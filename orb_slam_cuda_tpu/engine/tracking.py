@@ -62,6 +62,7 @@ class TrackCarry(NamedTuple):
     oct: jnp.ndarray
     ang: jnp.ndarray
     bip: jnp.ndarray
+    depth: jnp.ndarray  # (N,) last frame depths (<0 unknown; mono all <0)
     mp: jnp.ndarray  # (N,) last frame map-point bindings
     ref_kf: jnp.ndarray  # () int32
 
@@ -76,21 +77,41 @@ def track_motion_model(
     last_ang,
     last_bip,
     last_mp,
+    last_depth,
+    pose_last,
     cam: Camera,
     scale_factors,
     radius,
+    th_depth=jnp.float32(0.0),
 ):
     """TrackWithMotionModel (reference src/Tracking.cc:942-1006): project
     the last frame's bound map points at their *current* map positions
-    into the predicted pose, window-match, then pose-only LM."""
+    into the predicted pose, window-match, then pose-only LM.
+
+    Temporal VO points (reference UpdateLastFrame, src/Tracking.cc:
+    911-941): close-depth features of the last frame that carry NO map
+    binding are backprojected at the last pose and matched/optimized
+    exactly like map points, but never enter the map or the bindings —
+    they vanish when the carry refreshes, the array analogue of the
+    reference deleting its temporal points each round (:911-916,
+    mlpTemporalPoints). They densify pose tracking where the map is thin
+    (stereo/RGBD only; mono depths are all <0 so the set is empty, the
+    reference's :917 early-out)."""
     from ..geometry import camera as cam_mod
 
-    q_valid = last_mp >= 0
-    Xw = state.mp_xyz[jnp.clip(last_mp, 0)]
+    is_map = last_mp >= 0
+    valid_map = is_map & state.mp_valid[jnp.clip(last_mp, 0)]
+    Xw_map = state.mp_xyz[jnp.clip(last_mp, 0)]
+    is_temp = ~is_map & (last_depth > 0) & (last_depth < th_depth)
+    Xw_temp = se3.transform(
+        se3.inverse(pose_last),
+        cam_mod.backproject(cam, last_uv, jnp.maximum(last_depth, 1e-6)),
+    )
+    Xw = jnp.where(is_map[:, None], Xw_map, Xw_temp)
     Xc = se3.transform(pose_pred, Xw)
     proj = cam_mod.project(cam, Xc)
     in_front = Xc[:, 2] > 0
-    q_valid = q_valid & in_front & state.mp_valid[jnp.clip(last_mp, 0)]
+    q_valid = (valid_map | is_temp) & in_front
 
     m = search.by_projection(
         proj, last_bip, q_valid, last_oct,
@@ -99,16 +120,24 @@ def track_motion_model(
         q_ang=last_ang,
         max_dist=100.0, ratio=0.9, check_rotation=True,
     )
-    # Bind: frame feature m.idx[q] <- point last_mp[q].
+    # Bind: frame feature m.idx[q] <- point last_mp[q] (map queries only).
     n = frame.capacity
     mp_new = jnp.full((n,), -1, jnp.int32)
     ok = m.idx >= 0
-    mp_new = mp_new.at[jnp.clip(m.idx, 0)].set(
-        jnp.where(ok, last_mp, mp_new[jnp.clip(m.idx, 0)])
+    j = jnp.clip(m.idx, 0)
+    mp_new = mp_new.at[j].set(
+        jnp.where(ok & is_map, last_mp, mp_new[j])
+    )
+    # Temporal correspondences: per-frame-feature world anchors that join
+    # the pose LM but produce no binding.
+    temp_bound = jnp.zeros((n,), bool).at[j].max(ok & is_temp)
+    temp_Xw = jnp.zeros((n, 3), jnp.float32).at[j].set(
+        jnp.where((ok & is_temp)[:, None], Xw, 0.0)
     )
     n_matches = jnp.sum(ok)
     pose, mp_out, n_inl = _optimize_and_prune(
-        state, frame, pose_pred, mp_new, cam, scale_factors
+        state, frame, pose_pred, mp_new, cam, scale_factors,
+        extra_Xw=temp_Xw, extra_bound=temp_bound,
     )
     return pose, mp_out, n_matches, n_inl
 
@@ -147,18 +176,31 @@ def track_reference_kf(
     return pose, mp_out, n_matches, n_inl
 
 
-def _optimize_and_prune(state, frame, pose0, mp, cam, scale_factors):
+def _optimize_and_prune(
+    state, frame, pose0, mp, cam, scale_factors,
+    extra_Xw=None, extra_bound=None,
+):
     """Pose-only LM on current bindings + unbind chi2 outliers
     (the reference deletes outlier mvpMapPoints after PoseOptimization,
-    src/Tracking.cc:986-999)."""
+    src/Tracking.cc:986-999). `extra_Xw`/`extra_bound` add temporal VO
+    correspondences (world anchors without map bindings) to the LM; the
+    returned inlier count stays map-only, the reference's nmatchesMap
+    gate (src/Tracking.cc:986-1005)."""
     bound = (mp >= 0) & frame.valid
     Xw = state.mp_xyz[jnp.clip(mp, 0)]
+    if extra_bound is not None:
+        eb = extra_bound & frame.valid & ~bound
+        Xw = jnp.where(bound[:, None], Xw, extra_Xw)
+        bound_all = bound | eb
+    else:
+        bound_all = bound
     inv_sigma2 = inv_level_sigma2(scale_factors, frame.oct)
     res = pose_opt.optimize_pose(
-        pose0, Xw, frame.uv, frame.right, inv_sigma2, bound, cam
+        pose0, Xw, frame.uv, frame.right, inv_sigma2, bound_all, cam
     )
     mp_out = jnp.where(res.inliers, mp, -1)
-    return res.pose, mp_out, res.n_inliers
+    n_inl = jnp.sum(res.inliers & (mp >= 0))
+    return res.pose, mp_out, n_inl
 
 
 @jax.jit
@@ -351,7 +393,7 @@ def full_track_step(
     frame: FrameData,
     pose_pred,
     pose_last,
-    last_uv, last_oct, last_ang, last_bip, last_mp,
+    last_uv, last_oct, last_ang, last_bip, last_mp, last_depth,
     ref_kf,
     min_obs,
     cam: Camera,
@@ -386,13 +428,15 @@ def full_track_step(
     # matches run short, src/Tracking.cc:972-976) ---
     pose1, mp1, n_m1, n_i1 = track_motion_model.__wrapped__(
         state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
-        last_mp, cam, scale_factors, radius_mm,
+        last_mp, last_depth, pose_last, cam, scale_factors, radius_mm,
+        th_depth,
     )
 
     def widen(_):
         return track_motion_model.__wrapped__(
             state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
-            last_mp, cam, scale_factors, 2.0 * radius_mm,
+            last_mp, last_depth, pose_last, cam, scale_factors,
+            2.0 * radius_mm, th_depth,
         )
 
     pose1, mp1, n_m1, n_i1 = jax.lax.cond(
@@ -495,7 +539,7 @@ def fused_pipeline_step(
     pose_pred = carry.vel @ carry.pose
     res = full_track_step.__wrapped__(
         state, frame, pose_pred, carry.pose,
-        carry.uv, carry.oct, carry.ang, carry.bip, carry.mp,
+        carry.uv, carry.oct, carry.ang, carry.bip, carry.mp, carry.depth,
         carry.ref_kf, min_obs, cam, scale_factors, radius_mm, th_depth,
     )
     ok = res.scalars[0] > 0
@@ -506,7 +550,7 @@ def fused_pipeline_step(
     carry_new = TrackCarry(
         pose=pose_new, vel=vel_new,
         uv=frame.uv, oct=frame.oct, ang=frame.ang, bip=frame.bip,
-        mp=res.mp, ref_kf=res.scalars[2],
+        depth=frame.depth, mp=res.mp, ref_kf=res.scalars[2],
     )
     return frame, res, carry_new
 

@@ -130,6 +130,88 @@ class TestRGBDEndToEnd:
         assert ate < 0.08, f"rgbd ATE {ate:.3f}"
 
 
+def sweep_trajectory(n_frames, span=2.4, yaw_amp=0.03):
+    """Lateral dolly across the scene (Tcw list): the reference-keyframe
+    view degrades steadily, so NeedNewKeyFrame's c2 weakness and the
+    close-point census drive keyframe insertion naturally."""
+    from orb_slam_cuda_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        x = -span / 2 + span * s
+        yaw = yaw_amp * np.sin(2 * np.pi * s)
+        xi = jnp.asarray(np.array([x, 0.0, 0.0, 0.0, yaw, 0.0], np.float32))
+        poses.append(np.asarray(se3.exp(xi), np.float64))
+    return poses
+
+
+class TestNaturalKeyframePolicy:
+    """End-to-end runs with the REFERENCE keyframe policy active — no
+    kf_ref_ratio / kf_cull_redundancy overrides (reference NeedNewKeyFrame
+    src/Tracking.cc:1057-1145 + KeyFrameCulling src/LocalMapping.cc:
+    668-736). The scene's near plane sits inside ThDepth (3.0 m < 35*b =
+    7.0 m), so the stereo/RGBD close-point census (c1c/bNeedToInsertClose)
+    is exercised, and the lateral sweep decays ref-KF overlap so c2's
+    weakness term fires on its own."""
+
+    def _scene(self, rng):
+        return synthetic.PlanarScene.default(
+            rng, depth=3.0, second_depth=9.0, extent=16.0, tex_size=1024
+        )
+
+    def _check(self, slam, gt):
+        assert slam.tracked_ratio() > 0.9
+        n_kfs = int(np.asarray(slam.state.kf_valid).sum())
+        # The policy must fire more than the bootstrap pair but not every
+        # frame (keyframe spam = c2 broken; none = c1/c2 never firing).
+        assert 3 <= slam.stats.n_keyframes <= 30, slam.stats.n_keyframes
+        assert n_kfs >= 3
+        ts, est = camera_centers(slam.get_trajectory())
+        gt_map = dict((round(t, 6), c) for t, c in gt)
+        gtm = np.asarray([gt_map[round(t, 6)] for t in ts])
+        ate = ate_rmse(est, gtm, with_scale=False)
+        assert ate < 0.10, f"natural-policy ATE {ate:.3f}"
+
+    def test_stereo_policy_fires_naturally(self, rng):
+        cam = stereo_cam()
+        scene = self._scene(rng)
+        poses = sweep_trajectory(40)
+        K = np.asarray(cam.K)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.STEREO, n_features=600,
+            max_keyframes=64, max_points=8192, enable_loop_closing=False,
+            stereo_init_min_features=300,
+        )
+        slam = System(cfg)
+        gt = []
+        for i, T in enumerate(poses):
+            left, right = scene.render_stereo(K, T, BASELINE, W, H)
+            slam.track_stereo(left, right, i * 0.1)
+            gt.append((i * 0.1, np.linalg.inv(T)[:3, 3]))
+        self._check(slam, gt)
+
+    def test_rgbd_policy_fires_naturally(self, rng):
+        cam = stereo_cam()
+        scene = self._scene(rng)
+        poses = sweep_trajectory(32)
+        K = np.asarray(cam.K)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.RGBD, n_features=600,
+            max_keyframes=64, max_points=8192, enable_loop_closing=False,
+            stereo_init_min_features=300,
+        )
+        slam = System(cfg)
+        gt = []
+        for i, T in enumerate(poses):
+            img = scene.render(K, T, W, H)
+            depth_map = render_depth(scene, K, T)
+            slam.track_rgbd(img, depth_map, i * 0.1)
+            gt.append((i * 0.1, np.linalg.inv(T)[:3, 3]))
+        self._check(slam, gt)
+
+
 def render_depth(scene, K, Tcw):
     """Ray-cast depth map for the planar scene (test-side utility)."""
     Tcw = np.asarray(Tcw, np.float64)
