@@ -79,6 +79,25 @@ def load_settings(path: str, sensor: Sensor = Sensor.MONOCULAR,
             else 1.0
         ),
     )
+    # Engine overrides from the settings file: any `SLAM.<field>` key maps
+    # onto the SystemConfig field of that name (the reference exposes its
+    # engine knobs through the same per-dataset YAML, src/Tracking.cc:
+    # 52-156; this is the equivalent for the knobs SystemConfig adds).
+    from dataclasses import fields as _fields
+
+    for f in _fields(SystemConfig):
+        key = "SLAM." + f.name
+        if key not in d:
+            continue
+        v = d[key]
+        cur = getattr(cfg, f.name)
+        if isinstance(cur, bool):
+            v = bool(int(v))
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float) or cur is None:
+            v = float(v)
+        setattr(cfg, f.name, v)
     for k, v in overrides.items():
         setattr(cfg, k, v)
     return cfg

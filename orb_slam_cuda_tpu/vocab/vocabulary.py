@@ -2,10 +2,18 @@
 
 TPU-native replacement for DBoW2's `TemplatedVocabulary` (reference:
 Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:44-1202): the k-ary tree of
-binary centroids becomes three arrays (per-level children descriptors +
-child-index tables + leaf word ids); `transform()` descends all N
+binary centroids becomes per-level arrays (children descriptors +
+child-index tables + per-node word ids); `transform()` descends all N
 descriptors of a frame in parallel, one small Hamming matmul per level,
 instead of DBoW2's per-descriptor recursive walk.
+
+Real DBoW2 trees are NOT complete k-ary trees: clusters smaller than k
+produce nodes with fewer children, and a node can become a *leaf above
+the bottom level* (TemplatedVocabulary.h createWords walks all nodes and
+makes any childless node a word). The descent therefore carries an
+`active` mask and per-level `node_word` tables so early-terminating
+descriptors resolve their word where the tree ends, exactly like the
+recursive propagate of the reference.
 
 Outputs per descriptor:
   * word id (leaf index)         — for BoW vectors / inverted-file scoring
@@ -18,39 +26,68 @@ Includes a trainer (binary k-means with bit-majority centroids, the same
 algorithm DBoW2 uses offline) so CI can build small vocabularies from
 synthetic images, and a loader for the stock ORBvoc.txt text format
 (reference: TemplatedVocabulary.h:241 loadFromTextFile) for real runs.
+The assembly from the flat node list is fully vectorized so the stock
+~1.1M-node vocabulary loads in seconds (tools/bench_vocab_scale.py
+records the times).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import hamming
 
 
-class Vocabulary(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class Vocabulary:
     """Array-form k-ary vocabulary tree.
 
-    children_desc: (n_levels,) list-like tuple of (n_nodes_l, k, 256) bf16
-      bipolar centroid descriptors per level (padded with +1s).
+    Registered as a JAX pytree (array fields = children; k/depth/
+    levelsup = static aux data) so it can be passed as a RUNTIME ARGUMENT
+    to jitted functions. Closing over it instead would bake the stock
+    vocabulary's ~0.5 GB of centroid arrays into the compiled program as
+    constants — which overflows compile-payload limits (observed: remote
+    TPU compile rejects the request) and bloats every executable.
+
+    children_desc: (n_levels,) tuple of (n_nodes_l, k, 256) bf16 bipolar
+      centroid descriptors per level (padded with +1s).
     children_valid: tuple of (n_nodes_l, k) bool.
     child_base: tuple of (n_nodes_l,) int32 — index of each node's first
       child in the next level's node array (children are contiguous).
+    node_word: tuple of (n_nodes_{l+1},) int32 — the DBoW2 word id of
+      each level-(l+1) node if it is a leaf, else -1 (leaves may occur
+      above the bottom level; see module docstring).
     word_weight: (n_words,) float32 idf weights.
     levelsup_depth: depth whose node id is reported for SearchByBoW gating
       (DBoW2 levelsup=4 from root, reference ORBVocabulary typedef
       include/ORBVocabulary.h:29-30).
     """
 
-    children_desc: tuple
-    children_valid: tuple
-    child_base: tuple
-    word_weight: jnp.ndarray
-    k: int
-    depth: int
-    levelsup_depth: int
+    def __init__(self, children_desc, children_valid, child_base,
+                 node_word, word_weight, k, depth, levelsup_depth):
+        self.children_desc = tuple(children_desc)
+        self.children_valid = tuple(children_valid)
+        self.child_base = tuple(child_base)
+        self.node_word = tuple(node_word)
+        self.word_weight = word_weight
+        self.k = int(k)
+        self.depth = int(depth)
+        self.levelsup_depth = int(levelsup_depth)
+
+    def tree_flatten(self):
+        children = (self.children_desc, self.children_valid,
+                    self.child_base, self.node_word, self.word_weight)
+        return children, (self.k, self.depth, self.levelsup_depth)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.children_desc, obj.children_valid, obj.child_base,
+         obj.node_word, obj.word_weight) = children
+        obj.k, obj.depth, obj.levelsup_depth = aux
+        return obj
 
     @property
     def n_words(self):
@@ -63,17 +100,21 @@ class Vocabulary(NamedTuple):
           desc_bipolar: (N,256) bipolar (bf16) descriptors.
 
         Returns:
-          word_id: (N,) int32 leaf word ids.
+          word_id: (N,) int32 leaf word ids (0 with weight 0 for the
+            degenerate no-word case, which real DBoW2 trees never hit).
           node_id: (N,) int32 node ids at `levelsup_depth`.
           weight: (N,) float32 idf weight of each word.
         """
         n = desc_bipolar.shape[0]
         node = jnp.zeros((n,), jnp.int32)  # all start at root (level 0 node 0)
         node_at_levelsup = jnp.zeros((n,), jnp.int32)
+        word = jnp.full((n,), -1, jnp.int32)
+        active = jnp.ones((n,), bool)
         for level in range(self.depth):
             cdesc = self.children_desc[level]  # (M,k,256)
             cvalid = self.children_valid[level]  # (M,k)
             base = self.child_base[level]  # (M,)
+            nword = self.node_word[level]  # (M_next,)
             my_cdesc = cdesc[node]  # (N,k,256)
             my_valid = cvalid[node]
             # (N,k) dot products -> Hamming; batched small matmul.
@@ -85,11 +126,21 @@ class Vocabulary(NamedTuple):
             dist = (hamming.N_BITS - dot) * 0.5
             dist = jnp.where(my_valid, dist, jnp.inf)
             best = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-            node = base[node] + best
+            step = active & my_valid.any(-1)
+            nxt = base[node] + best
+            node = jnp.where(step, nxt, node)
+            w_here = nword[jnp.clip(nxt, 0, nword.shape[0] - 1)]
+            word = jnp.where(step & (w_here >= 0), w_here, word)
+            active = step & (w_here < 0)
             if level + 1 == self.levelsup_depth:
-                node_at_levelsup = node
-        word_id = node
-        weight = self.word_weight[word_id]
+                # Descriptors whose path already ended (early leaf) carry
+                # their terminal node in a disjoint negative id space so
+                # the SearchByBoW bucket gate (node equality) can't alias
+                # them onto an unrelated level-`levelsup` node.
+                node_at_levelsup = jnp.where(active, node, -2 - node)
+        resolved = word >= 0
+        word_id = jnp.where(resolved, word, 0)
+        weight = jnp.where(resolved, self.word_weight[word_id], 0.0)
         return word_id, node_at_levelsup, weight
 
 
@@ -106,7 +157,6 @@ def _kmeans_binary(bits, k, rng, iters=8):
         return bits.copy(), np.arange(n) % max(n, 1)
     # k-means++ style init on Hamming distances.
     centers = [bits[rng.integers(n)]]
-    d2 = None
     for _ in range(k - 1):
         d = np.abs(bits[:, None, :] - np.asarray(centers)[None, :, :]).sum(-1).min(1)
         p = d.astype(np.float64) ** 2
@@ -135,9 +185,8 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
     rng = np.random.default_rng(seed)
     bits = np.asarray(hamming.unpack_bits(jnp.asarray(descriptors)))
     # Recursive top-down clustering, building contiguous per-level arrays.
-    levels_desc, levels_valid, levels_base = [], [], []
+    levels_desc, levels_valid, levels_base, levels_word = [], [], [], []
     current = [bits]  # clusters of descriptors for nodes at this level
-    word_count = 0
     for level in range(depth):
         cdescs, cvalids, bases = [], [], []
         next_clusters = []
@@ -162,8 +211,15 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
         levels_desc.append(jnp.asarray(np.asarray(cdescs), jnp.bfloat16))
         levels_valid.append(jnp.asarray(np.asarray(cvalids)))
         levels_base.append(jnp.asarray(np.asarray(bases), jnp.int32))
+        # Trainer trees carry words only at the bottom level (every
+        # cluster keeps subdividing until `depth`).
+        n_next = child_counter
+        if level == depth - 1:
+            levels_word.append(jnp.arange(n_next, dtype=jnp.int32))
+        else:
+            levels_word.append(jnp.full((max(n_next, 1),), -1, jnp.int32))
         current = next_clusters
-    n_words = sum(1 for _ in current)
+    n_words = len(current)
     if weights is None:
         # idf from training distribution: log(N/n_i), floor at small eps.
         counts = np.array([max(len(c), 1) for c in current], np.float64)
@@ -171,10 +227,12 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
         w = np.maximum(w, 1e-3)
     else:
         w = np.asarray(weights, np.float64)
+    assert len(w) == n_words
     return Vocabulary(
         children_desc=tuple(levels_desc),
         children_valid=tuple(levels_valid),
         child_base=tuple(levels_base),
+        node_word=tuple(levels_word),
         word_weight=jnp.asarray(w, jnp.float32),
         k=k,
         depth=depth,
@@ -184,13 +242,13 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
 
 def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
     """Load the stock ORBvoc.txt (DBoW2 text format: header `k L s1 s2`,
-    then one line per node: `parent_offset is_leaf d0..d31 weight`, nodes in
+    then one line per node: `parent is_leaf d0..d31 weight`, nodes in
     BFS order). Reference load: TemplatedVocabulary.h:241 loadFromTextFile.
 
     Uses the native C++ scanner (native/vocab_loader.cpp via
     vocab/native_loader.py) when built — the text parse of the stock
     vocabulary dominates the reference's startup (SURVEY.md §3.1) — and
-    falls back to the pure-Python loop otherwise.
+    falls back to a NumPy text parse otherwise.
     """
     from . import native_loader
 
@@ -199,73 +257,91 @@ def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
             native_loader.parse_orbvoc_text(path)
         )
         return _assemble_from_flat(
-            parents, is_leaf, desc_bytes.astype(np.uint8), weights,
+            np.asarray(parents), np.asarray(is_leaf).astype(bool),
+            np.asarray(desc_bytes, np.uint8), np.asarray(weights),
             int(k), int(depth), levelsup,
         )
 
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
-        parents, is_leaf, descs, weights = [], [], [], []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 35:
-                continue
-            parents.append(int(parts[0]))
-            is_leaf.append(bool(int(parts[1])))
-            descs.append([int(x) for x in parts[2:34]])
-            weights.append(float(parts[34]))
-    return _assemble_from_flat(
-        np.asarray(parents), np.asarray(is_leaf), np.asarray(descs, np.uint8),
-        np.asarray(weights), k, depth, levelsup,
-    )
+        body = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    if body.size == 0:
+        raise ValueError(f"empty vocabulary file: {path}")
+    parents = body[:, 0].astype(np.int64)
+    is_leaf = body[:, 1] != 0
+    desc_bytes = body[:, 2:34].astype(np.uint8)
+    weights = body[:, 34]
+    return _assemble_from_flat(parents, is_leaf, desc_bytes, weights,
+                               k, depth, levelsup)
 
 
-def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth, levelsup):
-    """Build the per-level arrays from a flat BFS node list."""
-    n_nodes = len(parents)
-    # Depth of each node by following parent chain (BFS order: parents first).
-    node_depth = np.zeros(n_nodes, np.int32)
-    for i in range(1, n_nodes):
-        node_depth[i] = node_depth[parents[i]] + 1
-    # Convert byte descriptors to bit arrays.
-    bits = np.unpackbits(desc_bytes, axis=1, bitorder="little")
+def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth,
+                        levelsup):
+    """Build the per-level arrays from a flat node list (node i's parent
+    always precedes it). Fully vectorized — the stock vocabulary has
+    ~1.1M nodes and per-node Python loops took tens of seconds.
+
+    The flat list EXCLUDES the root: row i describes node i+1 of the
+    DBoW2 id space, with `parents` in that same id space (0 = root), the
+    layout loadFromTextFile writes."""
+    n_rows = len(parents)
+    # Depth of each node (1-based rows; root depth 0). Parent ids precede
+    # children, so propagating depth converges in `depth` rounds.
+    node_depth = np.ones(n_rows, np.int64)
+    for _ in range(max(depth, 1)):
+        parent_depth = np.where(parents > 0, node_depth[parents - 1], 0)
+        nd = parent_depth + 1
+        if (nd == node_depth).all():
+            break
+        node_depth = nd
     max_depth = int(node_depth.max())
-    # Per-level contiguous renumbering.
-    level_nodes = [np.where(node_depth == d)[0] for d in range(max_depth + 1)]
-    local_id = np.zeros(n_nodes, np.int64)
-    for nodes in level_nodes:
-        local_id[nodes] = np.arange(len(nodes))
-    levels_desc, levels_valid, levels_base = [], [], []
-    word_of_node = np.full(n_nodes, -1, np.int64)
-    leaf_nodes = np.where(is_leaf)[0]
-    word_of_node[leaf_nodes] = np.arange(len(leaf_nodes))
+
+    # Word ids in DBoW2 order: leaves numbered by flat-file order
+    # (TemplatedVocabulary createWords walks nodes in id order).
+    word_of = np.full(n_rows, -1, np.int64)
+    leaf_rows = np.flatnonzero(is_leaf)
+    word_of[leaf_rows] = np.arange(len(leaf_rows))
+
+    bits = np.unpackbits(desc_bytes, axis=1, bitorder="little")
+    bip = bits.astype(np.int8) * 2 - 1
+
+    # Per-level contiguous renumbering, grouped by parent so each
+    # parent's children are contiguous (base + position addressing).
+    local_id = np.full(n_rows + 1, -1, np.int64)  # by DBoW2 id (0=root)
+    local_id[0] = 0
+    levels_desc, levels_valid, levels_base, levels_word = [], [], [], []
     for d in range(max_depth):
-        parent_ids = level_nodes[d]
-        m = len(parent_ids)
+        parent_rows_local = local_id  # ids assigned in previous round
+        child_rows = np.flatnonzero(node_depth == d + 1)
+        m = 1 if d == 0 else len(np.flatnonzero(node_depth == d))
+        pl = parent_rows_local[parents[child_rows]]
+        order = np.argsort(pl, kind="stable")
+        ch = child_rows[order]
+        pl_s = pl[order]
+        counts = np.bincount(pl_s, minlength=m)
+        total = len(ch)
+        starts = np.cumsum(counts) - counts
+        slot = np.arange(total) - np.repeat(starts, counts)
+        if (slot >= k).any():
+            raise ValueError("node with more than k children")
         cdesc = np.ones((m, k, hamming.N_BITS), np.int8)
         cvalid = np.zeros((m, k), bool)
-        base = np.zeros(m, np.int64)
-        # children of each parent, in BFS order (contiguous by construction).
-        children_of = {p: [] for p in parent_ids}
-        for i in np.where(node_depth == d + 1)[0]:
-            children_of[parents[i]].append(i)
-        counter = 0
-        for j, p in enumerate(parent_ids):
-            ch = children_of[p]
-            base[j] = counter
-            for c_idx, c in enumerate(ch[:k]):
-                cdesc[j, c_idx] = bits[c].astype(np.int8) * 2 - 1
-                cvalid[j, c_idx] = True
-            counter += len(ch[:k])
+        cdesc[pl_s, slot] = bip[ch]
+        cvalid[pl_s, slot] = True
         levels_desc.append(jnp.asarray(cdesc, jnp.bfloat16))
         levels_valid.append(jnp.asarray(cvalid))
-        levels_base.append(jnp.asarray(base, jnp.int32))
-    leaf_weights = weights[leaf_nodes]
+        levels_base.append(jnp.asarray(starts, jnp.int32))
+        levels_word.append(jnp.asarray(word_of[ch], jnp.int32))
+        # Assign this level's local ids for the next round.
+        local_id = np.full(n_rows + 1, -1, np.int64)
+        local_id[ch + 1] = np.arange(total)
+    leaf_weights = weights[leaf_rows]
     return Vocabulary(
         children_desc=tuple(levels_desc),
         children_valid=tuple(levels_valid),
         child_base=tuple(levels_base),
+        node_word=tuple(levels_word),
         word_weight=jnp.asarray(leaf_weights, jnp.float32),
         k=k,
         depth=max_depth,

@@ -58,6 +58,45 @@ class TestVocabIO:
         word, node, w = voc.transform(hamming.bipolar(jnp.asarray(d)))
         assert (np.asarray(word) >= 0).all() and (np.asarray(word) < 9).all()
 
+    def test_irregular_tree_early_leaves(self, rng, tmp_path):
+        """Real DBoW2 trees are not complete: nodes may have fewer than k
+        children and leaves occur above the bottom level
+        (TemplatedVocabulary createWords). The descent must resolve such
+        descriptors at their early leaf, with the leaf's own weight."""
+        p = str(tmp_path / "voc_irregular.txt")
+        k = 3
+        # Tree: root(0) -> node1 (EARLY LEAF, weight 7.5), node2 (internal)
+        #       node2 -> node3, node4 (leaves at depth 2; node2 has only
+        #       2 of k=3 children)
+        d1 = np.zeros(32, np.int64)          # descriptor all-zero bytes
+        d2 = np.full(32, 255, np.int64)      # all-one bytes
+        d3 = np.full(32, 255, np.int64); d3[0] = 0    # near d2
+        d4 = np.full(32, 255, np.int64); d4[31] = 0   # near d2
+        lines = [f"{k} 2 0 0"]
+        for parent, leaf, desc, w in [
+            (0, 1, d1, 7.5), (0, 0, d2, 0.0),
+            (2, 1, d3, 1.25), (2, 1, d4, 2.0),
+        ]:
+            lines.append(
+                f"{parent} {leaf} " + " ".join(str(x) for x in desc) + f" {w}"
+            )
+        open(p, "w").write("\n".join(lines) + "\n")
+        voc = load_orbvoc_text(p, levelsup=1)
+        assert voc.n_words == 3
+        import jax.numpy as jnp
+
+        q = np.stack([d1, d3, d4]).astype(np.uint8)
+        bip = hamming.bipolar(
+            jnp.asarray(np.frombuffer(q.tobytes(), np.uint32).reshape(3, 8))
+        )
+        word, node, w = voc.transform(bip)
+        word, w = np.asarray(word), np.asarray(w)
+        # d1 terminates at the depth-1 early leaf (word 0, weight 7.5);
+        # d3/d4 descend through node2 to the depth-2 leaves.
+        assert word[0] == 0 and abs(w[0] - 7.5) < 1e-6
+        assert word[1] == 1 and abs(w[1] - 1.25) < 1e-6
+        assert word[2] == 2 and abs(w[2] - 2.0) < 1e-6
+
     def test_native_matches_python(self, rng, tmp_path):
         if not native_loader.available():
             pytest.skip("native loader not built (run native/build.sh)")
