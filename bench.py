@@ -61,17 +61,20 @@ def main():
     log("rendering frames...")
     frames = [scene.render(K, T, WIDTH, HEIGHT) for T in poses]
 
+    import os
+
     cfg = SystemConfig(
         camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
         max_keyframes=128, max_points=16384, enable_loop_closing=True,
         max_frames_between_kf=10, min_frames_between_kf=4,
         # Verified on this chip by tools/ab_pallas_fast.py (exact match vs
         # the XLA path, 1.84x faster extraction at 1241x376) — see PERF.md.
-        use_pallas_fast=True,
+        # BENCH_PALLAS=0 / BENCH_LAG=n override for A/B runs (PERF.md).
+        use_pallas_fast=bool(int(os.environ.get("BENCH_PALLAS", "1"))),
         # One fused dispatch per frame, scalar readback consumed 3 frames
         # late: the tunnel round trip overlaps the next dispatches
         # (SystemConfig.pipeline_lag).
-        pipeline_lag=3,
+        pipeline_lag=int(os.environ.get("BENCH_LAG", "3")),
     )
     slam = System(cfg)
 
