@@ -313,7 +313,12 @@ class LoopCloser:
         self.mesh = mesh
         self.scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
         self.consistent_groups: List[Tuple[set, int]] = []
-        self.last_loop_kf_order: int = 0
+        # Monotonic keyframe-insertion counter for the recent-loop
+        # cooldown (reference mLastLoopKFid+10, src/LoopClosing.cc:133).
+        # Counted here, NOT via len(kf_order): keyframe culling removes
+        # entries from kf_order, so its length is not a clock.
+        self.kf_seen: int = 0
+        self.last_loop_kf_seen: int = -(10**9)
         self.n_loops_closed = 0
         # Persisted loop constraints (reference KeyFrame::mspLoopEdges,
         # src/KeyFrame.cc:556-567): every past loop's (kf_a, kf_b) pair is
@@ -354,10 +359,15 @@ class LoopCloser:
         5 ms, src/LoopClosing.cc:76-107 — detection always lags keyframe
         insertion there too). Returns an opaque pending tuple or None when
         detection is skipped."""
+        self.kf_seen += 1
         if len(kf_order) < 10:  # reference: map <10 KFs -> skip (:131)
+            self.consistent_groups = []
             return None
         # Recent-loop cooldown (reference: mLastLoopKFid+10, :133).
-        if len(kf_order) - self.last_loop_kf_order < 10:
+        if self.kf_seen - self.last_loop_kf_seen < 10:
+            # Consistency requires CONSECUTIVE detections; groups from
+            # before a skipped round must not survive the gap.
+            self.consistent_groups = []
             return None
         q, s, covis, neigh, min_score = _bow_scores_vs_neighbors(
             db, state, kf_slot, self.vocab.n_words
@@ -386,7 +396,7 @@ class LoopCloser:
 
         state = self._correct_loop(state, kf_slot, cand_kf, S_cm, kf_order)
         self.loop_edges.append((min(kf_slot, cand_kf), max(kf_slot, cand_kf)))
-        self.last_loop_kf_order = len(kf_order)
+        self.last_loop_kf_seen = self.kf_seen
         self.n_loops_closed += 1
         self.consistent_groups = []
         # Supersede any in-flight global BA (reference aborts the running

@@ -1184,7 +1184,7 @@ class System:
         self.frames_since_kf = 0
         if self.loop_closer is not None:
             self.loop_closer.consistent_groups = []
-            self.loop_closer.last_loop_kf_order = 0
+            self.loop_closer.last_loop_kf_seen = -(10**9)
             self.loop_closer.loop_edges = []
             self.loop_closer.gba_idx += 1  # supersede any in-flight GBA
             self.loop_closer.gba_requested = False
