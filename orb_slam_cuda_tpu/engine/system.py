@@ -204,6 +204,10 @@ class System:
         # against the pre-keyframe map; their (stale) inlier counts must
         # not trigger another keyframe (see _retire_one).
         self._kf_barrier = 0
+        # Post-keyframe / post-weakness hysteresis: run this many frames
+        # in drained (sync-latency) mode so the refreshed map re-anchors
+        # tracking before dispatches overlap again.
+        self._sync_window = 0
 
         _scale_factors_c = tuple(self.map_cfg.scale_factors)
 
@@ -355,10 +359,55 @@ class System:
         # (the reference's LocalMapping thread interleaving).
         self._pump_background()
         out = None
-        while len(self._pending) > self.cfg.pipeline_lag:
+        # Adaptive retirement. The configured lag is a CEILING on
+        # staleness, not a fixed delay:
+        #  * readbacks that have ALREADY landed are consumed immediately
+        #    (non-blocking is_ready) — on a fast device behind a slow
+        #    link, decisions then run at near-sync latency while up to L
+        #    dispatches still overlap the round trip;
+        #  * when tracking WEAKENS (last inlier count under twice the
+        #    lost threshold, or a keyframe was just requested), the
+        #    pipeline drains synchronously — a yawing camera dies if the
+        #    keyframe rescue arrives L frames after inliers collapse
+        #    (measured on the octagon-room fixture: 28% tracked with a
+        #    fixed lag-3 vs 97% risk-aware), so fragility buys back
+        #    latency for freshness, exactly like the reference blocking
+        #    on its mapping thread only when insertion demands it
+        #    (src/LocalMapping.cc stop/accept protocol).
+        def risky():
+            # Weak tracking or the post-keyframe window — NOT the c1a
+            # interval: when c2 legitimately blocks insertion past
+            # max_frames, pinning the pipeline to sync mode would cost
+            # the whole round-trip every frame for no freshness benefit.
+            return (
+                self._sync_window > 0
+                or self.n_inliers_local < 2 * tracking.MIN_INLIERS_LOCAL
+            )
+
+        at_risk = risky()
+        if self._sync_window > 0:
+            self._sync_window -= 1
+        if at_risk:
+            # Fragile tracking also needs the MAPPING backlog flushed:
+            # the rescue is the new keyframe's triangulated points, and
+            # one-unit-per-frame pumping falls behind a dense keyframe
+            # cadence (sync mode drains every frame and survives where
+            # steady-lag mode dies).
+            self._drain_background()
+        while self._pending:
+            if (
+                not at_risk
+                and len(self._pending) <= self.cfg.pipeline_lag
+            ):
+                try:
+                    if not self._pending[0][3].host_vec.is_ready():
+                        break
+                except Exception:
+                    break
             out = self._retire_one()
             if self.tracking_state != TrackingState.OK:
                 break
+            at_risk = risky()
         return out
 
     def _retire_one(self):
@@ -395,7 +444,21 @@ class System:
                 # In-flight frames tracked against the pre-keyframe map;
                 # their inlier counts would re-trigger c2 immediately.
                 self._kf_barrier = self.frame_id
+                self._sync_window = self.cfg.pipeline_lag + 1
             return pose
+        if fid < self._kf_barrier:
+            # SOFT MISS: this frame was dispatched against the
+            # pre-keyframe map that the policy already judged exhausted —
+            # its failure says nothing about the refreshed map. Skip it
+            # (untracked in the trajectory) and keep the chain alive: the
+            # device carry kept the last good pose with identity velocity,
+            # so the next dispatch re-tracks against the new keyframe's
+            # points. Declaring LOST here nuked the whole pipeline for a
+            # one-frame skew artifact the synchronous path never sees.
+            self._append_traj(ts, None, False)
+            self.stats.n_lost += 1
+            self._sync_window = max(self._sync_window, 1)
+            return None
         # Failure discovered L frames late: the frames dispatched after it
         # chained on the failed pose — drain them as lost (the reference
         # likewise loses every frame between losing track and successful
@@ -905,7 +968,16 @@ class System:
             )
         inliers = self.n_inliers_local
         mono = self.cfg.sensor == Sensor.MONOCULAR
-        idle = len(self._bg) == 0
+        # "Mapper idle" = no keyframe still mid-mapping (reference
+        # SetAcceptKeyFrames false only WHILE ProcessNewKeyFrame..BA runs,
+        # src/LocalMapping.cc:67-135). A queued-but-interruptible local-BA
+        # round 2 or a loop-detection probe does NOT make the mapper busy
+        # — the reference interrupts BA for insertion (mbAbortBA) and
+        # loop closing is a separate thread entirely. Counting ANY queued
+        # background unit as busy throttled c1b to the c1a cadence in
+        # pipelined mode (6x fewer keyframes than sync on the yaw
+        # fixture, which collapsed tracking).
+        idle = not any(u[0] == "map_finish" for u in self._bg)
 
         # bNeedToInsertClose (reference :1081-1097).
         need_close = (not mono) and (
@@ -932,10 +1004,16 @@ class System:
             return False
         if idle:
             return True
-        # Mapper busy: interrupt BA (reference :1120-1139); stereo/RGBD
-        # may still insert (queue depth here is <=1 < 3), mono waits.
+        # Mapper busy: interrupt BA (reference :1120-1139). The reference's
+        # mono path then DROPS the insertion because it cannot join its
+        # mapping thread; this engine can — finish the queued mapping
+        # units now and insert. (Dropping was measured to collapse
+        # pipelined tracking on fast yaw: the rescue keyframe arrived
+        # frames late, inliers fell through the floor, 28% tracked vs 98%
+        # with join-and-insert.)
         self._abort_pending_ba()
-        return not mono
+        self._drain_background()
+        return True
 
     def _grow_keyframe_capacity(self):
         """Double keyframe capacity (SURVEY §7 hard part (b)): pads every
