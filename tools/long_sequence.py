@@ -78,8 +78,7 @@ ORBextractor.minThFAST: 7
 SLAM.min_frames_between_kf: 1
 SLAM.max_keyframes: 256
 SLAM.max_points: 32768
-SLAM.kf_ref_ratio: 1.1
-SLAM.kf_cull_redundancy: 1.1
+SLAM.pipeline_lag: 3
 """)
 
 
