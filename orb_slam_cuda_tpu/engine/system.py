@@ -105,6 +105,11 @@ class SystemConfig:
     # zeroed the benchmark; never auto-enable an unverified kernel).
     # None is accepted and means False.
     use_pallas_fast: Optional[bool] = None
+    # Cluster-parallel map refinement cadence (parallel/cluster_ba):
+    # every N keyframe insertions, one block-coordinate BA round over
+    # covisibility clusters runs as a background unit (sharded across
+    # `mesh` when set — each device solves its own clusters). 0 = off.
+    cluster_refine_interval: int = 0
 
 
 @dataclass
@@ -117,6 +122,7 @@ class TrackStats:
     n_kf_grows: int = 0  # capacity doublings (keyframes)
     n_pt_grows: int = 0  # capacity doublings (map points)
     n_vo_frames: int = 0  # localization-mode visual-odometry frames (mbVO)
+    n_cluster_refines: int = 0  # cluster-parallel map refinement rounds
 
 
 class System:
@@ -187,11 +193,11 @@ class System:
             else tracking.MOTION_MODEL_RADIUS
         )
 
-        def _pipe_fn(state, image, carry, min_obs, th_depth, voc):
+        def _pipe_fn(state, image, carry, min_obs, th_depth, vo_th_depth, voc):
             return tracking.fused_pipeline_step(
                 state, image, carry, min_obs,
                 _extract_impl, lambda feats: build_frame(feats, _cam, voc),
-                _cam, _sf, _radius, th_depth,
+                _cam, _sf, _radius, th_depth, vo_th_depth,
             )
 
         self._pipe_fn = _jax.jit(_pipe_fn)
@@ -296,6 +302,15 @@ class System:
         baseline = float(np.asarray(cam.bf)) / float(np.asarray(cam.fx)) if float(np.asarray(cam.bf)) > 0 else 0.0
         self.th_depth = config.th_depth_factor * baseline
 
+    @property
+    def _vo_th_depth(self) -> float:
+        """Close-depth gate for the motion model's temporal VO points:
+        the reference creates them only in localization-only mode
+        (UpdateLastFrame early-returns on !mbOnlyTracking,
+        src/Tracking.cc:884-885), so full SLAM mode passes 0 (set empty).
+        A traced float argument — toggling modes does not recompile."""
+        return self.th_depth if self.localization_only else 0.0
+
     # ------------------------------------------------------------------
     def track_monocular(self, image: np.ndarray, timestamp: float):
         """Reference System::TrackMonocular -> Tracking::GrabImageMonocular
@@ -343,7 +358,8 @@ class System:
         min_obs = 3 if len(self.kf_order) > 2 else 2
         frame, res, carry = self._pipe_fn(
             self.state, image, self._carry, np.int32(min_obs),
-            np.float32(self.th_depth), self.vocab,
+            np.float32(self.th_depth), np.float32(self._vo_th_depth),
+            self.vocab,
         )
         try:
             res.host_vec.copy_to_host_async()
@@ -618,6 +634,7 @@ class System:
                 np.int32(self.ref_kf), np.int32(min_obs),
                 self.cam, self.scale_factors, radius,
                 np.float32(self.th_depth),
+                np.float32(self._vo_th_depth),
             )
             vec = np.asarray(res.host_vec)  # the frame's ONE device pull
             scal = vec[:9].astype(np.int64)
@@ -813,7 +830,14 @@ class System:
         self.kf_gen[slot1] += 1
         self.kf_gen[slot2] += 1
         self._next_kf_slot = 2
-        self.recent_pts = [(int(p), 2) for p in pt_slots]
+        # Init points do NOT enter the probation list: the reference's
+        # mlpRecentAddedMapPoints is fed only by CreateNewMapPoints
+        # triangulations and tracking-inserted stereo points
+        # (src/LocalMapping.cc:184,480) — CreateInitialMapMonocular
+        # points are pruned by BA chi2 only. Putting them on probation
+        # mass-culled every 2-obs init point two keyframes after init
+        # and collapsed tracking under the reference keyframe policy.
+        self.recent_pts = []
         self.mapper._next_pt_slot = int(pt_slots[-1]) + 1
         self.mapper.mp_valid_host[:] = False
         self.mapper.note_points_added(pt_slots)
@@ -934,13 +958,33 @@ class System:
                 # (src/LoopClosing.cc:631,700-807).
                 self.loop_closer.gba_requested = False
                 self._bg.append(("gba_dispatch",))
+        elif kind == "cluster_refine":
+            from ..parallel.cluster_ba import cluster_block_ba
+
+            with self.timer.stage("timesMapping.csv", "cluster_refine"):
+                self.state = cluster_block_ba(
+                    self.state, self.cam,
+                    1.0 / jnp.asarray(self.map_cfg.level_sigma2),
+                    mesh=self.cfg.mesh, rounds=1,
+                    lm_iters=4, cg_iters=12,
+                )
+            self.stats.n_cluster_refines += 1
         elif kind == "gba_dispatch":
             with self.timer.stage("timesMapping.csv", "gba_dispatch"):
                 pending = self.loop_closer.dispatch_global_ba(
                     self.state, self.kf_order, self.kf_gen,
                     self.mapper.mp_valid_host,
                 )
-            self._bg.append(("gba_finish", pending))
+            self._bg.append(("gba_chunk", pending))
+        elif kind == "gba_chunk":
+            # One LM chunk per pumped frame slot; a superseding loop
+            # aborts the remainder between chunks (reference mbStopGBA,
+            # src/LoopClosing.cc:455-470,716-717).
+            with self.timer.stage("timesMapping.csv", "gba_chunk"):
+                done = self.loop_closer.continue_global_ba(unit[1])
+            self._bg.append(
+                ("gba_finish", unit[1]) if done else ("gba_chunk", unit[1])
+            )
         elif kind == "gba_finish":
             with self.timer.stage("timesMapping.csv", "gba_finish"):
                 self.state = self.loop_closer.finish_global_ba(
@@ -998,7 +1042,24 @@ class System:
         )
         # kf_ref_ratio > 1 = pure-cadence mode (c2's weakness term always
         # passes; the interval conditions alone set the rhythm).
-        weak = th_ref > 1.0 or inliers < ref_tracked * th_ref
+        #
+        # Survival-floor clamp: the reference's weakness test
+        # (inliers < thRefRatio*nRefMatches, src/Tracking.cc:1099-1112)
+        # implicitly assumes 0.9*nRefMatches sits far above the 30-inlier
+        # LOST floor (src/Tracking.cc:1048-1053). At a map frontier the
+        # reference keyframe's >=3-obs count lags its fresh triangulations,
+        # and when 0.9*ref_tracked < ~30 the insertion trigger becomes
+        # unreachable: inliers fall through the floor before c2 can fire
+        # (measured: inl 40 -> 26 in two frames skips a 2-inlier-wide
+        # band). Inserting whenever inliers are within 2x of the floor
+        # closes the deadband; redundant keyframes are reclaimed by
+        # KeyFrameCulling, the "insert fast, cull later" policy the
+        # ORB-SLAM paper states explicitly.
+        weak = (
+            th_ref > 1.0
+            or inliers < ref_tracked * th_ref
+            or inliers < 2 * tracking.MIN_INLIERS_LOCAL
+        )
         c2 = (weak or need_close) and inliers > 15
         if not ((c1a or c1b or c1c) and c2):
             return False
@@ -1111,6 +1172,17 @@ class System:
         self.ref_kf = slot
         self.frames_since_kf = 0
         self.stats.n_keyframes += 1
+        # Periodic cluster-parallel map refinement (parallel/cluster_ba):
+        # every N keyframes one block-coordinate round over covisibility
+        # clusters rides the background queue — the "shard keyframe
+        # blocks by covisibility clusters" scaling axis (SURVEY §7 step
+        # 8) as ongoing maintenance, sharded over cfg.mesh when set.
+        if (
+            self.cfg.cluster_refine_interval > 0
+            and self.stats.n_keyframes % self.cfg.cluster_refine_interval == 0
+            and len(self.kf_order) >= 8
+        ):
+            self._bg.append(("cluster_refine",))
 
         protected = (
             {k for e in self.loop_closer.loop_edges for k in e}

@@ -96,7 +96,12 @@ def track_motion_model(
     reference deleting its temporal points each round (:911-916,
     mlpTemporalPoints). They densify pose tracking where the map is thin
     (stereo/RGBD only; mono depths are all <0 so the set is empty, the
-    reference's :917 early-out)."""
+    reference's :917 early-out). `th_depth` here gates ONLY this
+    temporal set: the reference creates temporal points exclusively in
+    localization-only mode (UpdateLastFrame early-returns on
+    !mbOnlyTracking, src/Tracking.cc:884-885), so the System passes 0
+    in full SLAM mode, disabling the set for parity (the close-point
+    keyframe census uses its own th_depth in full_track_step)."""
     from ..geometry import camera as cam_mod
 
     is_map = last_mp >= 0
@@ -350,7 +355,12 @@ def track_local_map(
         frame.uv, frame.oct, frame.ang, frame.bip, frame.valid,
         scale_factors, radius=radius * 4.0,
         q_radius_scale=r_scale,
-        max_dist=50.0, ratio=0.8,
+        # TH_HIGH=100: the reference's map->frame SearchByProjection
+        # accepts up to TH_HIGH, NOT TH_LOW (src/ORBmatcher.cc:118
+        # `bestDist<=TH_HIGH`). 50 here starved local-map tracking of
+        # 2/3 of its true matches once viewpoints drifted a few degrees
+        # from the distinctive descriptor's anchor view.
+        max_dist=100.0, ratio=0.8,
         t_has_point=frame.mp >= 0,
     )
     ok = m.idx >= 0
@@ -400,8 +410,14 @@ def full_track_step(
     scale_factors,
     radius_mm,
     th_depth=jnp.float32(0.0),
+    vo_th_depth=jnp.float32(0.0),
 ):
     """The entire per-frame tracking pipeline as ONE device dispatch.
+
+    `th_depth` feeds the stereo/RGBD close-point keyframe census;
+    `vo_th_depth` gates the motion model's temporal VO points and is
+    nonzero only in localization-only mode (reference src/Tracking.cc:
+    884-885 creates temporal points only when mbOnlyTracking).
 
     Fuses motion-model tracking, the reference-keyframe fallback
     (lax.cond — only the needed branch runs), local-map assembly +
@@ -429,14 +445,14 @@ def full_track_step(
     pose1, mp1, n_m1, n_i1 = track_motion_model.__wrapped__(
         state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
         last_mp, last_depth, pose_last, cam, scale_factors, radius_mm,
-        th_depth,
+        vo_th_depth,
     )
 
     def widen(_):
         return track_motion_model.__wrapped__(
             state, frame, pose_pred, last_uv, last_oct, last_ang, last_bip,
             last_mp, last_depth, pose_last, cam, scale_factors,
-            2.0 * radius_mm, th_depth,
+            2.0 * radius_mm, vo_th_depth,
         )
 
     pose1, mp1, n_m1, n_i1 = jax.lax.cond(
@@ -525,6 +541,7 @@ def fused_pipeline_step(
     scale_factors,
     radius_mm,
     th_depth=jnp.float32(0.0),
+    vo_th_depth=jnp.float32(0.0),
 ):
     """Extraction + frame build + full tracking step + velocity update as
     ONE XLA program (jitted by the System over closures for the extractor
@@ -541,6 +558,7 @@ def fused_pipeline_step(
         state, frame, pose_pred, carry.pose,
         carry.uv, carry.oct, carry.ang, carry.bip, carry.mp, carry.depth,
         carry.ref_kf, min_obs, cam, scale_factors, radius_mm, th_depth,
+        vo_th_depth,
     )
     ok = res.scalars[0] > 0
     vel_new = jnp.where(

@@ -188,6 +188,36 @@ def loop_trajectory(n_frames: int, radius: float = 1.5, overshoot: float = 0.15)
     return poses
 
 
+def circuit_trajectory(n_frames: int, radius: float = 5.0, laps: float = 1.15):
+    """KITTI-style circuit: the camera rides a circle of `radius` around
+    the room center looking FORWARD along the tangent, for `laps` laps
+    (world->cam poses Tcw).
+
+    Unlike `loop_trajectory` (in-place yaw, where every lap-2 view stays
+    covisibility-connected to lap-1 and re-entry latches seamlessly), a
+    circuit leaves each wall section behind and genuinely revisits the
+    start region after a full lap with accumulated mono scale/yaw drift —
+    the operating point where the reference's DetectLoop actually fires
+    (reference src/LoopClosing.cc:122-265; its eval datasets are
+    circuits for the same reason)."""
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    poses = []
+    total = 2 * np.pi * laps
+    for i in range(n_frames):
+        th = total * i / max(n_frames - 1, 1)
+        c = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)])
+        yaw = th + np.pi / 2  # look along the tangent (direction of travel)
+        Rwc = np.array(se3.so3_exp(jnp.asarray(np.array([0.0, yaw, 0.0], np.float32))))
+        Rcw = Rwc.T
+        T = np.eye(4)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
+        poses.append(T)
+    return poses
+
+
 def orbit_trajectory(n_frames: int, radius: float = 0.4, depth_amp: float = 0.15,
                      yaw_amp: float = 0.05):
     """Smooth sideways-arc camera trajectory (world->cam poses Tcw).

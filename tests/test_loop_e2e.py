@@ -1,17 +1,27 @@
-"""Full-system loop closure gate.
+"""Full-system loop closure gate — ZERO keyframe-policy overrides.
 
 The fork's flagship behavior (reference src/LoopClosing.cc:441-638) must
 fire through the REAL System pipeline — detection, Sim3 verification,
-correction, essential graph, global BA — not just at map level. The
-fixture is an octagonal textured room with a 1.4-lap in-place yaw
-trajectory: the revisit after 360 degrees triggers detection, and the
-second-lap frames then track against the corrected map.
+correction, essential graph, global BA — under the reference's OWN
+keyframe policy: thRefRatio=0.9 mono (src/Tracking.cc:1099-1105),
+KeyFrameCulling at 0.9 redundancy (src/LocalMapping.cc:668-736),
+mMinFrames=0 / mMaxFrames=30 (src/Tracking.cc:137-138). No kf_ref_ratio,
+no kf_cull_redundancy, no cadence overrides.
 
-Gate values (measured, tools/try_loop.py): with loop closing the run
-closes >=1 loop and lands at ATE ~0.099; with loop closing DISABLED the
-same run drifts to ATE ~0.140. The threshold 0.12 sits between them, so
-the test fails both if the loop stops closing and if the correction
-stops helping.
+The fixture is a KITTI-style circuit (synthetic.circuit_trajectory): the
+camera rides a 5 m circle inside a 9 m octagonal room looking forward,
+leaving each wall section behind and revisiting the start after a full
+lap with accumulated mono drift. An in-place yaw fixture cannot gate
+this behavior: its lap-2 views stay covisibility-connected to lap-1, so
+re-entry latches seamlessly and DetectLoop (correctly) never proposes a
+candidate — measured ATE 0.459 with zero loops on the yaw fixture vs a
+genuine detection->Sim3->correction chain here.
+
+Measured gate values (tools/try_loop.py --circuit): with loop closing the
+run closes 1 loop at the revisit and lands at ATE 0.416; with loop
+closing DISABLED the same run (identical tracking: 92.4% both) drifts to
+ATE 0.627. The 0.53 threshold sits between them, so the test fails both
+if the loop stops closing and if the correction stops helping.
 """
 
 import numpy as np
@@ -23,25 +33,28 @@ from orb_slam_cuda_tpu.utils import synthetic
 from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
 
 W, H = 320, 240
-N_FRAMES = 145
+N_FRAMES = 330
 
 
+@pytest.mark.slow
 class TestLoopClosureEndToEnd:
-    def test_closes_loop_and_reduces_ate(self):
+    def test_closes_loop_and_reduces_ate_reference_policy(self):
         rng = np.random.default_rng(7)
         cam = Camera.create(
             fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, width=W, height=H
         )
-        scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768,
+        scene = synthetic.room_scene(rng, half_size=9.0, tex_size=1024,
                                      n_walls=8)
-        poses = synthetic.loop_trajectory(N_FRAMES, radius=2.5,
-                                          overshoot=1.0)
+        poses = synthetic.circuit_trajectory(N_FRAMES, radius=5.0, laps=1.15)
         cfg = SystemConfig(
             camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
             max_keyframes=128, max_points=16384,
             enable_loop_closing=True,
-            max_frames_between_kf=3, min_frames_between_kf=1,
-            kf_ref_ratio=1.1, kf_cull_redundancy=1.1,
+            # Reference-default keyframe policy: mMinFrames=0,
+            # mMaxFrames=fps (src/Tracking.cc:137-138). Everything else
+            # (thRefRatio, culling) stays at the engine defaults, which
+            # ARE the reference values.
+            max_frames_between_kf=30, min_frames_between_kf=0,
         )
         slam = System(cfg, seed=1)
         K = np.asarray(cam.K)
@@ -51,11 +64,15 @@ class TestLoopClosureEndToEnd:
             gt.append((i * 0.1, np.linalg.inv(T)[:3, 3]))
         st = slam.get_status()
         assert st["loops_closed"] >= 1, st
-        assert st["tracked_ratio"] > 0.95, st
+        assert st["tracked_ratio"] > 0.85, st
+        # KeyFrameCulling must be live under the reference policy: a
+        # 61-keyframe circuit with 0.9-redundancy culling reclaims slots.
+        assert len(slam.kf_order) < slam.stats.n_keyframes, (
+            len(slam.kf_order), slam.stats.n_keyframes)
         ts, est = camera_centers(slam.get_trajectory())
         gt_map = dict((round(t, 6), c) for t, c in gt)
         gta = np.asarray([gt_map[round(t, 6)] for t in ts])
         ate = ate_rmse(est, gta)
-        # 0.12 < measured loop-OFF ATE (0.140): passing requires the
+        # 0.53 < measured loop-OFF ATE (0.627): passing requires the
         # correction to actually improve the trajectory.
-        assert ate < 0.12, f"loop-closed ATE {ate:.4f}"
+        assert ate < 0.53, f"loop-closed ATE {ate:.4f}"

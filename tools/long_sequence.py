@@ -1,13 +1,13 @@
 """Long-sequence system run: >=500 frames, multiple loop closures, ATE.
 
-Generates a TUM-format dataset (octagonal textured room, 2.2 in-place
-yaw laps -> two revisit events) under /tmp, drives it through the REAL
-CLI entry point (`python -m orb_slam_cuda_tpu.run`, the L6 layer —
-reference Examples/Monocular/mono_tum.cc), and scores the saved TUM
-trajectory against ground truth. This is the round-3 long-run
-validation VERDICT.md item 6 asked for: sustained mapping + keyframe
-culling + loop closing + global BA over hundreds of frames, not a
-40-frame unit fixture.
+Generates a TUM-format dataset (octagonal textured room, 2.2
+forward-circuit laps -> two revisit events) under /tmp, drives it
+through the REAL CLI entry point (`python -m orb_slam_cuda_tpu.run`,
+the L6 layer — reference Examples/Monocular/mono_tum.cc), and scores
+the saved TUM trajectory against ground truth: sustained mapping +
+keyframe culling + loop closing + global BA over hundreds of frames
+under the REFERENCE keyframe policy — zero kf_ref_ratio /
+kf_cull_redundancy / cadence overrides (round-4 VERDICT item 1).
 
 Usage:  python tools/long_sequence.py            (runs on default backend)
         LONGSEQ_FRAMES=520 python tools/long_sequence.py
@@ -26,7 +26,7 @@ import numpy as np
 W, H = 320, 240
 FX = 260.0
 N_FRAMES = int(os.environ.get("LONGSEQ_FRAMES", "520"))
-LAPS_OVERSHOOT = 1.2  # 2.2 laps -> revisit at ~45% and ~90%
+LAPS = 2.2  # two revisit events per run
 ROOT = f"/tmp/longseq_{N_FRAMES}"
 
 
@@ -36,9 +36,9 @@ def generate():
     from orb_slam_cuda_tpu.utils import synthetic
 
     rng = np.random.default_rng(7)
-    scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768, n_walls=8)
-    poses = synthetic.loop_trajectory(
-        N_FRAMES, radius=2.5, overshoot=LAPS_OVERSHOOT
+    scene = synthetic.room_scene(rng, half_size=9.0, tex_size=1024, n_walls=8)
+    poses = synthetic.circuit_trajectory(
+        N_FRAMES, radius=5.0, laps=LAPS
     )
     K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1]], np.float64)
     os.makedirs(f"{ROOT}/rgb", exist_ok=True)
@@ -69,13 +69,12 @@ Camera.cx: {W / 2}
 Camera.cy: {H / 2}
 Camera.width: {W}
 Camera.height: {H}
-Camera.fps: 3.0
+Camera.fps: 10.0
 ORBextractor.nFeatures: 800
 ORBextractor.scaleFactor: 1.2
 ORBextractor.nLevels: 8
 ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
-SLAM.min_frames_between_kf: 1
 SLAM.max_keyframes: 256
 SLAM.max_points: 32768
 SLAM.pipeline_lag: 3
@@ -126,7 +125,7 @@ def main():
     print(json.dumps({
         "metric": "long_sequence_ate_rmse",
         "value": round(float(ate), 4),
-        "unit": "m (sim3-aligned, room scale 8m)",
+        "unit": "m (sim3-aligned, room scale 9m)",
         "frames": N_FRAMES,
         "tracked_pct": tracked_pct,
         "loops_closed": loops,

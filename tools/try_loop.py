@@ -1,12 +1,19 @@
 """Drive System around a textured room and A/B loop closure on/off.
 
-The octagonal-room two-lap fixture (shallow corners keep tracking alive
-through the turns — a square room's 90-degree corners lose it at the
-first corner). Expected (N=200): loop on closes 2 loops and roughly
-halves ATE vs loop off. tests/test_loop_e2e.py gates a shortened
-single-run version of this in CI.
+Two fixtures:
 
-Usage: JAX_PLATFORMS=cpu python tools/try_loop.py [n_frames]
+* default (circuit): KITTI-style forward circuit (synthetic.
+  circuit_trajectory) under the REFERENCE keyframe policy — zero
+  kf_ref_ratio / kf_cull_redundancy overrides. This is the fixture
+  tests/test_loop_e2e.py gates: expected (N=330) 1 loop closed at the
+  revisit, ATE ~0.42 with loop closing vs ~0.63 without, 92% tracked.
+* --yaw: the legacy in-place-yaw fixture (loop_trajectory) with the
+  dense-cadence overrides. Kept for comparison: its lap-2 views stay
+  covisibility-connected to lap-1, so under the natural policy the map
+  just bends (tracking re-latches seamlessly) and DetectLoop correctly
+  never fires — it gates loop closure only in the override regime.
+
+Usage: JAX_PLATFORMS=cpu python tools/try_loop.py [n_frames] [--yaw]
 """
 import os
 import sys
@@ -32,21 +39,33 @@ from orb_slam_cuda_tpu.utils import synthetic
 from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
 
 W, H = 320, 240
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+YAW = "--yaw" in sys.argv
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(args[0]) if args else (200 if YAW else 330)
 
 
 def run(enable_loop):
     rng = np.random.default_rng(7)
     cam = Camera.create(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, width=W, height=H)
-    scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768, n_walls=8)
-    poses = synthetic.loop_trajectory(N, radius=2.5, overshoot=1.0)
-    cfg = SystemConfig(
-        camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
-        max_keyframes=128, max_points=16384,
-        enable_loop_closing=enable_loop,
-        max_frames_between_kf=3, min_frames_between_kf=1,
-        kf_ref_ratio=1.1, kf_cull_redundancy=1.1,
-    )
+    if YAW:
+        scene = synthetic.room_scene(rng, half_size=8.0, tex_size=768, n_walls=8)
+        poses = synthetic.loop_trajectory(N, radius=2.5, overshoot=1.0)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
+            max_keyframes=128, max_points=16384,
+            enable_loop_closing=enable_loop,
+            max_frames_between_kf=3, min_frames_between_kf=1,
+            kf_ref_ratio=1.1, kf_cull_redundancy=1.1,
+        )
+    else:
+        scene = synthetic.room_scene(rng, half_size=9.0, tex_size=1024, n_walls=8)
+        poses = synthetic.circuit_trajectory(N, radius=5.0, laps=1.15)
+        cfg = SystemConfig(
+            camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
+            max_keyframes=128, max_points=16384,
+            enable_loop_closing=enable_loop,
+            max_frames_between_kf=30, min_frames_between_kf=0,
+        )
     slam = System(cfg, seed=1)
     K = np.asarray(cam.K)
     gt = []
@@ -68,7 +87,8 @@ def run(enable_loop):
     print(
         f"loop={enable_loop}: {time.time()-t0:.0f}s state={st['state']} "
         f"tracked={st['tracked_ratio']} kfs={st['keyframes']} "
-        f"loops={st['loops_closed']} ate={ate:.4f} n_est={len(est)}"
+        f"live={len(slam.kf_order)} loops={st['loops_closed']} "
+        f"ate={ate:.4f} n_est={len(est)}"
     )
     return ate, st
 
