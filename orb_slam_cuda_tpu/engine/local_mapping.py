@@ -400,18 +400,30 @@ def apply_fusion(state: MapState, kf_target, pt_candidates, match_idx):
 def _dedup_observations(state: MapState) -> MapState:
     """Enforce at most one feature per (keyframe, point): keep the
     lowest-index feature (the reference never creates duplicates because
-    AddObservation checks mObservations.count; merging can)."""
+    AddObservation checks mObservations.count; merging can).
+
+    Row-local formulation: duplicates can only exist WITHIN a keyframe
+    row, so each (N,) row is sorted by (point, feature) and the first
+    occurrence per point group is kept — O(K*N log N) with (K,N) peak
+    memory, instead of the previous (K,P) int32 `first` table (0.5 GB
+    per dispatch on a capacity-grown map)."""
     K, N = state.kf_mp.shape
     P = state.mp_xyz.shape[0]
     feat_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N))
     bound = state.kf_mp >= 0
-    pt = jnp.clip(state.kf_mp, 0)
-    first = (
-        jnp.full((K, P), N, jnp.int32)
-        .at[jnp.arange(K)[:, None].repeat(N, 1), pt]
-        .min(jnp.where(bound, feat_idx, N))
+    pt = jnp.where(bound, state.kf_mp, P)  # unbound sorts last
+    # Sort each row by point id; ties keep feature order (stable).
+    order = jnp.argsort(pt, axis=1, stable=True)
+    pt_sorted = jnp.take_along_axis(pt, order, axis=1)
+    first_in_group = jnp.concatenate(
+        [jnp.ones((K, 1), bool), pt_sorted[:, 1:] != pt_sorted[:, :-1]],
+        axis=1,
     )
-    keep = bound & (feat_idx == first[jnp.arange(K)[:, None].repeat(N, 1), pt])
+    keep = jnp.zeros((K, N), bool).at[
+        jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1),
+        order.reshape(-1),
+    ].set(first_in_group.reshape(-1))
+    keep = keep & bound
     return state._replace(kf_mp=jnp.where(keep, state.kf_mp, -1))
 
 

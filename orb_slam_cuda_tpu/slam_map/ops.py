@@ -49,7 +49,12 @@ def observation_counts(state: MapState):
 
 @jax.jit
 def observation_matrix(state: MapState, dtype=jnp.bfloat16):
-    """(K,P) incidence matrix (1 = kf observes point)."""
+    """(K,P) incidence matrix (1 = kf observes point).
+
+    SCALE WARNING: materializes K*P — fine for unit-test capacities,
+    but hot paths must not call this on grown maps (1024 KF x 131k pts
+    = 0.25 GB bf16 per dispatch). `covisibility_matrix` tiles over
+    points instead of going through this."""
     K, N = state.kf_mp.shape
     P = state.mp_xyz.shape[0]
     ov = _obs_valid(state)
@@ -61,19 +66,50 @@ def observation_matrix(state: MapState, dtype=jnp.bfloat16):
     )
 
 
+_COVIS_TILE = 16384  # (K, TILE) slab = 32 MB bf16 at K=1024
+
+
 @jax.jit
 def covisibility_matrix(state: MapState):
-    """(K,K) int32 shared-point counts, diagonal zeroed. One bf16 MXU
-    matmul replaces the reference's per-keyframe map<KeyFrame*,int>
-    accumulation (src/KeyFrame.cc:310-330)."""
-    obs = observation_matrix(state)
-    w = jax.lax.dot_general(
-        obs, obs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    ).astype(jnp.int32)
-    K = w.shape[0]
+    """(K,K) int32 shared-point counts, diagonal zeroed. MXU matmuls
+    replace the reference's per-keyframe map<KeyFrame*,int> accumulation
+    (src/KeyFrame.cc:310-330).
+
+    The (K,P) incidence is never materialized: the P axis is processed
+    in static tiles (one scatter + one A@A.T per tile, accumulated into
+    the (K,K) result), so peak memory is K*TILE regardless of map
+    growth. Maps at the default 16k-point capacity take the single-tile
+    fast path, which compiles to exactly the untiled program."""
+    K, N = state.kf_mp.shape
+    P = state.mp_xyz.shape[0]
+    tile = min(P, _COVIS_TILE)
+    n_tiles = -(-P // tile)
+    ov = _obs_valid(state)
+    seg = jnp.clip(state.kf_mp, 0)
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+
+    def accumulate(acc, base):
+        local = seg - base
+        in_tile = ov & (local >= 0) & (local < tile)
+        A = jnp.zeros((K, tile), jnp.bfloat16).at[
+            rows, jnp.clip(local, 0, tile - 1).reshape(-1)
+        ].add(in_tile.reshape(-1).astype(jnp.bfloat16))
+        return acc + jax.lax.dot_general(
+            A, A,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    init = jnp.zeros((K, K), jnp.float32)
+    if n_tiles == 1:
+        w = accumulate(init, 0)
+    else:
+        w, _ = jax.lax.scan(
+            lambda acc, t: (accumulate(acc, t * tile), None),
+            init, jnp.arange(n_tiles),
+        )
+    w = w.astype(jnp.int32)
     w = w * (1 - jnp.eye(K, dtype=jnp.int32))
     valid2 = state.kf_valid[:, None] & state.kf_valid[None, :]
     return jnp.where(valid2, w, 0)
