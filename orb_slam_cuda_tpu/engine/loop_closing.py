@@ -36,14 +36,25 @@ class GBAPending:
     """In-flight global BA (the reference's GBA thread state,
     src/LoopClosing.cc:700-807): the dispatched solve's device futures
     plus the snapshots finish_global_ba needs to apply it safely after
-    tracked frames and keyframes have interleaved."""
+    tracked frames and keyframes have interleaved.
 
-    __slots__ = ("idx", "result", "kfs", "kf_gen_snap", "pt_snap")
+    The solve runs as host-pumped CHUNKS of a few LM iterations each
+    (`problem`/`iters_done`): between chunks a superseding loop can
+    abort the remainder — the reference's mbStopGBA mid-solve
+    interruption (src/LoopClosing.cc:455-470,716-717) at chunk
+    granularity, where a monolithic 10-iteration dispatch could only
+    discard the finished result."""
 
-    def __init__(self, idx, result, kfs, kf_gen_snap, pt_snap):
+    __slots__ = ("idx", "result", "kfs", "kf_gen_snap", "pt_snap",
+                 "problem", "iters_done")
+
+    def __init__(self, idx, result, kfs, kf_gen_snap, pt_snap,
+                 problem=None, iters_done=0):
         self.idx = idx
         self.result = result
         self.kfs = kfs
+        self.problem = problem
+        self.iters_done = iters_done
         self.kf_gen_snap = kf_gen_snap
         self.pt_snap = pt_snap
 
@@ -349,6 +360,8 @@ class LoopCloser:
         if self.gba_requested:
             self.gba_requested = False
             gba = self.dispatch_global_ba(state, kf_order)
+            while not self.continue_global_ba(gba):
+                pass
             state = self.finish_global_ba(state, gba, kf_order)
         return state, db
 
@@ -713,44 +726,81 @@ class LoopCloser:
         return state._replace(kf_pose=kf_pose, mp_xyz=new_xyz)
 
     # ------------------------------------------------------------------
+    # Chunked GBA budget: GBA_TOTAL_ITERS LM iterations total (reference
+    # RunGlobalBundleAdjustment budget, src/LoopClosing.cc:708), pumped
+    # GBA_CHUNK_ITERS at a time so a superseding loop aborts between
+    # chunks and tracked frames interleave.
+    GBA_TOTAL_ITERS = 10
+    GBA_CHUNK_ITERS = 3
+
+    def _solve_chunk(self, problem, lm_iters):
+        if self.mesh is not None:
+            from ..parallel import distributed_bundle_adjust
+
+            result = distributed_bundle_adjust(
+                problem, self.cam, self.mesh, lm_iters=lm_iters, cg_iters=20
+            )
+            # Replicated mesh outputs -> the map's home device so the
+            # scatter jit sees colocated arguments.
+            dev = jax.devices()[0]
+            return jax.tree.map(lambda x: jax.device_put(x, dev), result)
+        return ba.bundle_adjust(
+            problem, self.cam, lm_iters=lm_iters, cg_iters=20
+        )
+
     def dispatch_global_ba(self, state: MapState, kf_order,
                            kf_gen=None, mp_valid_host=None):
         """Start the full-map BA (reference RunGlobalBundleAdjustment via
-        the GBA thread, 10 LM iterations, first KF fixed,
-        src/LoopClosing.cc:700-807) WITHOUT blocking: the jitted solve is
-        dispatched and its result arrays returned as device futures
-        inside a GBAPending. With a mesh configured the solve is
-        observation-sharded across it — XLA lowers the segment-sums/CG
-        dots to psum over ICI (parallel/dist_ba.py); the single-GPU
-        reference's counterpart is shelling out to the CUDA pba_driver
-        (src/Optimizer.cc:61-73).
+        the GBA thread, first KF fixed, src/LoopClosing.cc:700-807)
+        WITHOUT blocking: the FIRST chunk of LM iterations is dispatched
+        and returned as device futures inside a GBAPending;
+        continue_global_ba pumps the remaining chunks. With a mesh
+        configured each chunk is observation-sharded across it — XLA
+        lowers the segment-sums/CG dots to psum over ICI
+        (parallel/dist_ba.py); the single-GPU reference's counterpart is
+        shelling out to the CUDA pba_driver (src/Optimizer.cc:61-73).
 
         kf_gen / mp_valid_host snapshots let finish_global_ba recognize
         slots recycled while the solve was in flight."""
         problem, cam_slots, pt_slots = gather_global_ba_problem(
             state, kf_order[0], 1.0 / jnp.asarray(self.cfg.level_sigma2),
         )
-        if self.mesh is not None:
-            from ..parallel import distributed_bundle_adjust
-
-            result = distributed_bundle_adjust(
-                problem, self.cam, self.mesh, lm_iters=10, cg_iters=20
-            )
-            # Replicated mesh outputs -> the map's home device so the
-            # scatter jit sees colocated arguments.
-            dev = jax.devices()[0]
-            result = jax.tree.map(lambda x: jax.device_put(x, dev), result)
-        else:
-            result = ba.bundle_adjust(problem, self.cam, lm_iters=10, cg_iters=20)
+        chunk = min(self.GBA_CHUNK_ITERS, self.GBA_TOTAL_ITERS)
+        result = self._solve_chunk(problem, chunk)
         return GBAPending(
             idx=self.gba_idx,
             result=result,
             kfs=list(kf_order),
+            problem=problem,
+            iters_done=chunk,
             kf_gen_snap=(np.asarray(kf_gen).copy()
                          if kf_gen is not None else None),
             pt_snap=(np.asarray(mp_valid_host).copy()
                      if mp_valid_host is not None else None),
         )
+
+    def continue_global_ba(self, pending: "GBAPending") -> bool:
+        """Pump one more LM chunk of an in-flight GBA; returns True when
+        the solve is complete (or aborted) and finish_global_ba may run.
+
+        Abort point: a superseding loop bumped gba_idx while this solve
+        was parked — the remaining chunks are skipped outright, the
+        reference's mbStopGBA check between LM iterations
+        (src/LoopClosing.cc:455-470 + g2o setForceStopFlag)."""
+        if pending.idx != self.gba_idx:
+            return True  # superseded: stop solving; finish will discard
+        remaining = self.GBA_TOTAL_ITERS - pending.iters_done
+        if remaining <= 0:
+            return True
+        chunk = min(self.GBA_CHUNK_ITERS, remaining)
+        # Warm-start the next chunk from the previous chunk's iterate.
+        r = pending.result
+        pending.problem = pending.problem._replace(
+            cam_pose=r.cam_pose, xyz=r.xyz
+        )
+        pending.result = self._solve_chunk(pending.problem, chunk)
+        pending.iters_done += chunk
+        return pending.iters_done >= self.GBA_TOTAL_ITERS
 
     def finish_global_ba(self, state: MapState, pending: "GBAPending",
                          kf_order, kf_gen=None, mp_valid_host=None):

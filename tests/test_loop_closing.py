@@ -253,14 +253,15 @@ class TestLoopClosing:
 
         st, db, T_true, T_est, vocab = build_drifted_ring(rng)
         kf_order = list(range(16))
-        lc_single = LoopCloser(CFG, CAM, vocab)
-        lc_mesh = LoopCloser(CFG, CAM, vocab, mesh=make_mesh(8))
-        st_single = lc_single.finish_global_ba(
-            st, lc_single.dispatch_global_ba(st, kf_order), kf_order
-        )
-        st_mesh = lc_mesh.finish_global_ba(
-            st, lc_mesh.dispatch_global_ba(st, kf_order), kf_order
-        )
+
+        def run_full(lc):
+            pending = lc.dispatch_global_ba(st, kf_order)
+            while not lc.continue_global_ba(pending):
+                pass
+            return lc.finish_global_ba(st, pending, kf_order)
+
+        st_single = run_full(LoopCloser(CFG, CAM, vocab))
+        st_mesh = run_full(LoopCloser(CFG, CAM, vocab, mesh=make_mesh(8)))
         np.testing.assert_allclose(
             np.asarray(st_mesh.kf_pose), np.asarray(st_single.kf_pose),
             atol=5e-4,
@@ -269,6 +270,33 @@ class TestLoopClosing:
             np.asarray(st_mesh.mp_xyz), np.asarray(st_single.mp_xyz),
             atol=5e-3,
         )
+
+    def test_gba_chunked_abort_mid_solve(self, rng):
+        """A superseding loop mid-GBA must abort the remaining LM chunks
+        AND make finish a no-op (reference mbStopGBA + mnFullBAIdx,
+        src/LoopClosing.cc:455-470,716-717). Before chunking, the
+        10-iteration dispatch was uninterruptible and only the finished
+        result could be discarded."""
+        st, db, T_true, T_est, vocab = build_drifted_ring(rng)
+        kf_order = list(range(16))
+        lc = LoopCloser(CFG, CAM, vocab)
+        pending = lc.dispatch_global_ba(st, kf_order)
+        assert pending.iters_done == lc.GBA_CHUNK_ITERS < lc.GBA_TOTAL_ITERS
+        # A second loop closes while the solve is parked: gba_idx bumps.
+        lc.gba_idx += 1
+        assert lc.continue_global_ba(pending) is True  # aborted, no chunk run
+        assert pending.iters_done == lc.GBA_CHUNK_ITERS  # nothing solved
+        st_after = lc.finish_global_ba(st, pending, kf_order)
+        assert st_after is st  # superseded result discarded outright
+
+        # Un-superseded solves pump chunk by chunk to the full budget.
+        lc2 = LoopCloser(CFG, CAM, vocab)
+        p2 = lc2.dispatch_global_ba(st, kf_order)
+        pumps = 0
+        while not lc2.continue_global_ba(p2):
+            pumps += 1
+        assert p2.iters_done == lc2.GBA_TOTAL_ITERS
+        assert pumps >= 1
 
     def test_detect_consistency_chaining(self, rng):
         st, db, T_true, T_est, vocab = build_drifted_ring(rng)
