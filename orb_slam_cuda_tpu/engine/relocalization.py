@@ -1,18 +1,32 @@
 """Relocalization: BoW candidate retrieval + guided matching + pose solve.
 
-Replaces `Tracking::Relocalization` (reference: src/Tracking.cc:1427-1600):
-candidates from the keyframe database, SearchByBoW per candidate, then
-pose estimation against the candidate's map points. Candidates are tried
-with the reference's own flow: SearchByBoW against the candidate's map
-points, EPnP RANSAC (solvers/pnp.py) for the pose hypothesis, then a
-projection-widened robust refinement (src/Tracking.cc:1473-1600).
+Replaces `Tracking::Relocalization` (reference: src/Tracking.cc:1427-1600)
+with the reference's full STAGED ladder per candidate:
+
+  1. SearchByBoW against the candidate's map points (>=15 matches,
+     :1480-1490);
+  2. EPnP RANSAC for the pose hypothesis (solvers/pnp.py, :1473-1499);
+  3. pose-only LM on the RANSAC inliers (:1500-1516);
+  4. if nGood < 50: SearchByProjection over the candidate keyframe's
+     REMAINING map points with a WIDE th=10 window / Hamming 100, then
+     re-optimize (:1520-1542);
+  5. if 30 <= nGood < 50: one NARROW th=3 / Hamming 64 retry around the
+     improved pose, then a final optimization (:1545-1578);
+  6. accept at nGood >= 50 (:1585).
+
+Stages 3-5 fuse into ONE jitted dispatch per candidate
+(`_staged_refine`): the widen/narrow ladder is two lax.cond branches, so
+the host pulls a single (pose, bindings, nGood) per candidate instead of
+round-tripping per stage.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..geometry import se3
 from ..geometry.camera import Camera
 from ..matching import search
 from ..ops import hamming
@@ -22,6 +36,86 @@ from .frame import FrameData
 
 MIN_BOW_MATCHES = 15  # reference src/Tracking.cc:1482
 MIN_INLIERS_ACCEPT = 50  # reference :1585 (nGood >= 50)
+NARROW_RETRY_MIN = 30  # reference :1545 (30 < nGood < 50 -> narrow retry)
+WIDE_TH, WIDE_HAM = 10.0, 100.0  # reference :1520 SearchByProjection(10,100)
+NARROW_TH, NARROW_HAM = 3.0, 64.0  # reference :1548 (3,64)
+
+
+@jax.jit
+def _staged_refine(
+    state: MapState,
+    frame: FrameData,
+    kf,
+    pose0,
+    mp0,
+    cam: Camera,
+    scale_factors,
+):
+    """Stages 3-5 of the reference reloc ladder as one dispatch.
+
+    Returns (pose, bindings, n_good)."""
+    kf_mp = state.kf_mp[kf]
+    kf_has = (kf_mp >= 0) & state.mp_valid[jnp.clip(kf_mp, 0)]
+    kf_bip = hamming.bipolar(state.kf_desc[kf])
+    kf_oct = state.kf_oct[kf]
+    kf_feat_ok = state.kf_feat_valid[kf] & kf_has
+
+    def optimize(pose, mp):
+        return tracking._optimize_and_prune(
+            state, frame, pose, mp, cam, scale_factors
+        )
+
+    pose1, mp1, n1 = optimize(pose0, mp0)
+
+    def widen_search(pose, mp, radius, ham):
+        """SearchByProjection(F, KF, sAlreadyFound, th, ORBdist)
+        (reference src/ORBmatcher.cc:1472-1601): project the candidate
+        keyframe's map points not already found into the frame and
+        window-match."""
+        P = state.mp_xyz.shape[0]
+        already = jnp.zeros((P,), bool).at[jnp.clip(mp, 0)].set(mp >= 0)
+        q_ok = kf_feat_ok & ~already[jnp.clip(kf_mp, 0)]
+        Xw = state.mp_xyz[jnp.clip(kf_mp, 0)]
+        Xc = se3.transform(pose, Xw)
+        from ..geometry import camera as cam_mod
+
+        proj = cam_mod.project(cam, Xc)
+        q_ok = q_ok & (Xc[:, 2] > 0)
+        m = search.by_projection(
+            proj, kf_bip, q_ok, kf_oct,
+            frame.uv, frame.oct, frame.ang, frame.bip, frame.valid,
+            scale_factors, radius=radius,
+            q_ang=state.kf_ang[kf],
+            max_dist=ham, ratio=1.0, check_rotation=True,
+            t_has_point=mp >= 0,
+        )
+        ok = m.idx >= 0
+        j = jnp.clip(m.idx, 0)
+        mp_new = mp.at[j].set(jnp.where(ok, kf_mp, mp[j]))
+        return mp_new
+
+    def wide_stage(_):
+        mp_w = widen_search(pose1, mp1, WIDE_TH, WIDE_HAM)
+        pose2, mp2, n2 = optimize(pose1, mp_w)
+
+        def narrow_stage(_):
+            mp_n = widen_search(pose2, mp2, NARROW_TH, NARROW_HAM)
+            return optimize(pose2, mp_n)
+
+        return jax.lax.cond(
+            (n2 >= NARROW_RETRY_MIN) & (n2 < MIN_INLIERS_ACCEPT),
+            narrow_stage,
+            lambda _: (pose2, mp2, n2),
+            None,
+        )
+
+    pose_f, mp_f, n_f = jax.lax.cond(
+        n1 < MIN_INLIERS_ACCEPT,
+        wide_stage,
+        lambda _: (pose1, mp1, n1),
+        None,
+    )
+    return pose_f, mp_f, n_f
 
 
 def relocalize(
@@ -87,17 +181,16 @@ def relocalize(
         mp = mp.at[jnp.clip(m.idx, 0)].set(
             jnp.where(keep, kf_mp, mp[jnp.clip(m.idx, 0)])
         )
-        pose = res.pose
-        # Widen with a projection search from the recovered pose and
-        # refine once more (reference does SearchByProjection with
-        # th=10 after the first optimization, src/Tracking.cc:1520).
-        pose2, mp2, n_inl2, _, _ = tracking.track_local_map(
-            state, frame._replace(mp=mp), pose,
-            state.mp_valid, cam, jnp.asarray(scale_factors), 2.0,
+        # Stages 3-5: optimize -> wide th=10 re-search -> re-optimize ->
+        # narrow th=3 retry, ONE dispatch (reference
+        # src/Tracking.cc:1500-1578).
+        pose2, mp2, n_good = _staged_refine(
+            state, frame, jnp.int32(kf), res.pose, mp, cam,
+            jnp.asarray(scale_factors),
         )
         # Acceptance gate: the reference only relocalizes on nGood >= 50
         # (src/Tracking.cc:1585); weaker poses fall through to the next
         # candidate rather than being returned as tentative successes.
-        if int(n_inl2) >= MIN_INLIERS_ACCEPT:
+        if int(n_good) >= MIN_INLIERS_ACCEPT:
             return pose2, mp2, True
     return None, None, False
