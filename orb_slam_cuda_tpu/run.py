@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--timing-dir", default=None,
                     help="write times*.csv here at shutdown")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve GET /status and /map_changed over HTTP "
+                         "while running (the reference's ROS "
+                         "query/response channel, ros_mono.cc:148-159)")
     args = ap.parse_args(argv)
 
     import os
@@ -97,6 +101,14 @@ def main(argv=None):
         ds = EurocDataset(args.sequence, args.timestamps,
                           stereo=sensor == Sensor.STEREO)
 
+    server = None
+    if args.serve is not None:
+        from .io.serve import StatusServer
+
+        server = StatusServer(slam, port=args.serve).start()
+        print(f"status server on http://127.0.0.1:{server.port}",
+              file=sys.stderr)
+
     times = []
     for i, (t, frame) in enumerate(ds):
         if args.max_frames is not None and i >= args.max_frames:
@@ -141,6 +153,8 @@ def main(argv=None):
         slam.save_map(args.save_map)
     if args.timing_dir:
         slam.timer.flush(args.timing_dir)
+    if server is not None:
+        server.stop()
     return 0
 
 

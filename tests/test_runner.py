@@ -67,3 +67,47 @@ def test_mono_kitti_runner(mini_kitti):
     assert os.path.exists(map_out)
     assert os.path.exists(str(tmp / "times.csv"))
     assert os.path.exists(str(tmp / "timesTracking.csv"))
+
+
+def test_status_server(mini_kitti):
+    """HTTP status service (reference ROS query/response channel,
+    ros_mono.cc:148-159): /status reflects live counters; /map_changed
+    is edge-triggered per map mutation epoch."""
+    import json
+    import urllib.request
+
+    from orb_slam_cuda_tpu.engine import Sensor, System
+    from orb_slam_cuda_tpu.io import load_settings
+    from orb_slam_cuda_tpu.io.datasets import KittiOdometryDataset
+    from orb_slam_cuda_tpu.io.serve import StatusServer
+
+    seq, settings, tmp = mini_kitti
+    cfg = load_settings(settings, sensor=Sensor.MONOCULAR)
+    slam = System(cfg)
+    srv = StatusServer(slam).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}{path}", timeout=10
+            ) as r:
+                return json.loads(r.read())
+
+        st0 = get("/status")
+        assert st0["state"] == "NO_IMAGES_YET"
+        assert get("/map_changed")["map_changed"] is True  # epoch 0 is new
+        assert get("/map_changed")["map_changed"] is False  # edge-triggered
+
+        ds = KittiOdometryDataset(seq)
+        for i, (t, frame) in enumerate(ds):
+            slam.track_monocular(frame["image"], t)
+            if i >= 9:
+                break
+        st1 = get("/status")
+        assert st1["frames"] >= 9
+        assert st1["keyframes"] >= 2
+        assert st1["state"] in ("OK", "LOST", "NOT_INITIALIZED")
+        # Keyframes were inserted since the last poll -> edge fires once.
+        assert get("/map_changed")["map_changed"] is True
+        assert get("/map_changed")["map_changed"] is False
+    finally:
+        srv.stop()
