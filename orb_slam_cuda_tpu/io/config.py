@@ -85,18 +85,29 @@ def load_settings(path: str, sensor: Sensor = Sensor.MONOCULAR,
     # 52-156; this is the equivalent for the knobs SystemConfig adds).
     from dataclasses import fields as _fields
 
+    # Coercion dispatches on the DECLARED field type (stringified under
+    # `from __future__ import annotations`), not the current value's
+    # runtime type: a None default (kf_ref_ratio) or a future
+    # Optional[int] field must not silently coerce to float, and fields
+    # whose type is not YAML-settable (camera, sensor, mesh) are
+    # rejected explicitly rather than setattr'd raw.
     for f in _fields(SystemConfig):
         key = "SLAM." + f.name
         if key not in d:
             continue
         v = d[key]
-        cur = getattr(cfg, f.name)
-        if isinstance(cur, bool):
+        ftype = str(f.type).replace("typing.", "")
+        if ftype in ("bool", "Optional[bool]"):
             v = bool(int(v))
-        elif isinstance(cur, int):
+        elif ftype in ("int", "Optional[int]"):
             v = int(v)
-        elif isinstance(cur, float) or cur is None:
+        elif ftype in ("float", "Optional[float]"):
             v = float(v)
+        else:
+            raise ValueError(
+                f"{key}: SystemConfig field of type {ftype!r} cannot be "
+                "set from a YAML settings file"
+            )
         setattr(cfg, f.name, v)
     for k, v in overrides.items():
         setattr(cfg, k, v)

@@ -91,12 +91,19 @@ def partition_problem(problem: ba.BAProblem, mesh: Mesh) -> PartitionedBA:
 
     def take(x, fill):
         x = np.asarray(x)
+        if x.shape[0] == 0:
+            # Zero-observation problem: every row is padding; emit the
+            # fill directly (x[src] on a shape-(0,) source would raise).
+            return jnp.full((len(src),) + x.shape[1:], fill, x.dtype)
         out = x[src].copy()
         out[pad_row] = fill
         return jnp.asarray(out)
 
-    pt_local = obs_pt[src] - (np.clip(obs_pt[src], 0, Pn - 1) // pblk) * pblk
-    pt_local = np.where(pad_row | (obs_pt[src] < 0), -1, pt_local).astype(np.int32)
+    if E:
+        pt_local = obs_pt[src] - (np.clip(obs_pt[src], 0, Pn - 1) // pblk) * pblk
+        pt_local = np.where(pad_row | (obs_pt[src] < 0), -1, pt_local).astype(np.int32)
+    else:
+        pt_local = np.full(len(src), -1, np.int32)
 
     xyz = np.zeros((Pp, 3), np.float32)
     xyz[:Pn] = np.asarray(problem.xyz)

@@ -110,6 +110,11 @@ class Vocabulary:
         node_at_levelsup = jnp.zeros((n,), jnp.int32)
         word = jnp.full((n,), -1, jnp.int32)
         active = jnp.ones((n,), bool)
+        # Level-unique node id of the current position: level-local ids
+        # alias across levels, so early-leaf encodings below fold in a
+        # per-level base (root = 0, then each level's child space).
+        glob = jnp.zeros((n,), jnp.int32)
+        glob_off = 1
         for level in range(self.depth):
             cdesc = self.children_desc[level]  # (M,k,256)
             cvalid = self.children_valid[level]  # (M,k)
@@ -129,6 +134,8 @@ class Vocabulary:
             step = active & my_valid.any(-1)
             nxt = base[node] + best
             node = jnp.where(step, nxt, node)
+            glob = jnp.where(step, glob_off + nxt, glob)
+            glob_off += int(nword.shape[0])
             w_here = nword[jnp.clip(nxt, 0, nword.shape[0] - 1)]
             word = jnp.where(step & (w_here >= 0), w_here, word)
             active = step & (w_here < 0)
@@ -136,8 +143,11 @@ class Vocabulary:
                 # Descriptors whose path already ended (early leaf) carry
                 # their terminal node in a disjoint negative id space so
                 # the SearchByBoW bucket gate (node equality) can't alias
-                # them onto an unrelated level-`levelsup` node.
-                node_at_levelsup = jnp.where(active, node, -2 - node)
+                # them onto an unrelated level-`levelsup` node. The
+                # encoding uses the LEVEL-UNIQUE id (per-level base +
+                # local id): terminal nodes at different levels with the
+                # same local index must not share a bucket.
+                node_at_levelsup = jnp.where(active, node, -2 - glob)
         resolved = word >= 0
         word_id = jnp.where(resolved, word, 0)
         weight = jnp.where(resolved, self.word_weight[word_id], 0.0)
