@@ -735,15 +735,24 @@ class LoopCloser:
 
     def _solve_chunk(self, problem, lm_iters):
         if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from ..parallel import distributed_bundle_adjust
 
             result = distributed_bundle_adjust(
                 problem, self.cam, self.mesh, lm_iters=lm_iters, cg_iters=20
             )
-            # Replicated mesh outputs -> the map's home device so the
-            # scatter jit sees colocated arguments.
-            dev = jax.devices()[0]
-            return jax.tree.map(lambda x: jax.device_put(x, dev), result)
+            # Mesh outputs -> the map's home device so the scatter jit
+            # sees colocated arguments. Two hops because the mesh may
+            # span PROCESSES: (1) reshard every leaf to fully-replicated
+            # (a global-to-global collective, legal cross-process where a
+            # direct device_put to one local device is not), (2) pull the
+            # now-fully-addressable value to host and re-commit locally.
+            rep = NamedSharding(self.mesh, P())
+            result = jax.tree.map(lambda x: jax.device_put(x, rep), result)
+            return jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)), result
+            )
         return ba.bundle_adjust(
             problem, self.cam, lm_iters=lm_iters, cg_iters=20
         )

@@ -192,7 +192,16 @@ def cluster_block_ba(
             state_in, problems, cam_slots, pt_slots, cam, lm_iters, cg_iters
         )
         if mesh is not None:
-            dev = jax.devices()[0]
-            state_new = jax.tree.map(lambda x: jax.device_put(x, dev), state_new)
+            # Mesh -> home device in two hops (reshard to replicated,
+            # then host pull): the mesh may span processes, where a
+            # direct device_put to one local device rejects
+            # non-fully-addressable arrays.
+            rep = NamedSharding(mesh, P())
+            state_new = jax.tree.map(
+                lambda x: jax.device_put(x, rep), state_new
+            )
+            state_new = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)), state_new
+            )
         state = state_new
     return state
