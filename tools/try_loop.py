@@ -41,7 +41,7 @@ from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
 W, H = 320, 240
 YAW = "--yaw" in sys.argv
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
-N = int(args[0]) if args else (200 if YAW else 330)
+N = int(args[0]) if args else (200 if YAW else 360)
 
 
 def run(enable_loop):
@@ -59,7 +59,7 @@ def run(enable_loop):
         )
     else:
         scene = synthetic.room_scene(rng, half_size=9.0, tex_size=1024, n_walls=8)
-        poses = synthetic.circuit_trajectory(N, radius=5.0, laps=1.15)
+        poses = synthetic.circuit_trajectory(N, radius=5.0, laps=1.3)
         cfg = SystemConfig(
             camera=cam, sensor=Sensor.MONOCULAR, n_features=800,
             max_keyframes=128, max_points=16384,
