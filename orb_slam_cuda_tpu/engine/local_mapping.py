@@ -294,7 +294,7 @@ def fuse_pair(state: MapState, kf_src, kf_dst, cam: Camera, scale_factors):
 
 @jax.jit
 def covis_row(state: MapState, kf_slot):
-    return map_ops.covisibility_matrix(state)[kf_slot]
+    return state.covis[kf_slot]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -302,7 +302,7 @@ def top_covis_neighbors(state: MapState, kf_slot, nb: int):
     """Top-nb covisibility neighbors of a keyframe, -1 padded — computed
     on device so neighbor selection adds no host round trip (reference
     GetBestCovisibilityKeyFrames, src/KeyFrame.cc:169-180)."""
-    covis = map_ops.covisibility_matrix(state)[kf_slot]
+    covis = state.covis[kf_slot]
     return map_ops.top_covisible(covis, nb)
 
 
@@ -405,12 +405,24 @@ def _dedup_observations(state: MapState) -> MapState:
     Row-local formulation: duplicates can only exist WITHIN a keyframe
     row, so each (N,) row is sorted by (point, feature) and the first
     occurrence per point group is kept — O(K*N log N) with (K,N) peak
-    memory, instead of the previous (K,P) int32 `first` table (0.5 GB
-    per dispatch on a capacity-grown map)."""
+    memory, instead of a (K,P) int32 `first` table (0.5 GB per dispatch
+    on a capacity-grown map). Small maps keep the scatter-table path:
+    the table is a few MB there and the scatter beats the sort on the
+    keyframe-event critical path."""
     K, N = state.kf_mp.shape
     P = state.mp_xyz.shape[0]
     feat_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N))
     bound = state.kf_mp >= 0
+    if K * P <= 16 * 1024 * 1024:  # table <= 64 MB int32
+        pt = jnp.clip(state.kf_mp, 0)
+        rows = jnp.arange(K)[:, None].repeat(N, 1)
+        first = (
+            jnp.full((K, P), N, jnp.int32)
+            .at[rows, pt]
+            .min(jnp.where(bound, feat_idx, N))
+        )
+        keep = bound & (feat_idx == first[rows, pt])
+        return state._replace(kf_mp=jnp.where(keep, state.kf_mp, -1))
     pt = jnp.where(bound, state.kf_mp, P)  # unbound sorts last
     # Sort each row by point id; ties keep feature order (stable).
     order = jnp.argsort(pt, axis=1, stable=True)
@@ -445,8 +457,7 @@ def gather_local_ba_problem(
     Returns (problem, cam_slots (C,), pt_slots (n_points,))."""
     K, N = state.kf_mp.shape
     P = state.mp_xyz.shape[0]
-    covis = map_ops.covisibility_matrix(state)
-    row = covis[kf_new]  # (K,)
+    row = state.covis[kf_new]  # (K,)
     top = map_ops.top_covisible(row, n_local - 1)  # (n_local-1,)
     local = jnp.concatenate([jnp.asarray([kf_new], jnp.int32), top])
     local_mask = jnp.zeros((K,), bool).at[jnp.clip(local, 0)].set(local >= 0)
@@ -646,6 +657,13 @@ class LocalMapper:
         triangulation did not fill."""
         cam = self.cam
         NB = self.n_tri_nb
+        # UpdateConnections for the NEW keyframe (reference
+        # ProcessNewKeyFrame, src/LocalMapping.cc:153-195): its bindings
+        # carried from tracking define the covisibility row the neighbor
+        # selection below reads.
+        state = map_ops.refresh_covis_rows(
+            state, jnp.asarray([kf_slot], jnp.int32)
+        )
         nb_arr = top_covis_neighbors(state, np.int32(kf_slot), NB)
 
         MAX_NEW = 256
@@ -662,6 +680,14 @@ class LocalMapper:
         # --- SearchInNeighbors fusion (both directions, one dispatch) ---
         state = fuse_all(state, np.int32(kf_slot), nb_arr, cam, self.scale_factors)
         state = map_ops.update_point_stats(state, self.cfg)
+        # Triangulation + fusion changed the observation rows of the new
+        # keyframe AND its neighbors: refresh their covisibility
+        # (reference SearchInNeighbors ends with UpdateConnections,
+        # src/LocalMapping.cc:565-571).
+        state = map_ops.refresh_covis_rows(
+            state,
+            jnp.concatenate([jnp.asarray([kf_slot], jnp.int32), nb_arr]),
+        )
 
         # --- Local BA round 1 (5 iters, reference Optimizer.cc:782) ---
         problem, cam_slots, pt_slots = gather_local_ba_problem(

@@ -116,7 +116,7 @@ def _bow_scores_vs_neighbors(db, state: MapState, kf_slot, n_words):
     (the loop-candidate floor, reference LoopClosing.cc:146-165)."""
     q = keyframe_db.dense_bow(db.word[kf_slot], db.weight[kf_slot], n_words)
     s = keyframe_db.scores(db, q)
-    covis = map_ops.covisibility_matrix(state)
+    covis = state.covis
     neigh = (covis[kf_slot] >= 15) & db.valid
     min_score = jnp.min(jnp.where(neigh, s, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 1.0)
@@ -251,7 +251,7 @@ def loop_points_projection_gate(
 
     Returns (n_total, point_match (N,) point id per current-KF feature).
     """
-    covis = map_ops.covisibility_matrix(state)
+    covis = state.covis
     loop_kfs = ((covis[cand] >= 15) | (jnp.arange(covis.shape[0]) == cand)) & state.kf_valid
     pts_mask = map_ops.points_of_keyframes(state, loop_kfs)
     P = state.mp_xyz.shape[0]
@@ -562,7 +562,7 @@ class LoopCloser:
         """CorrectLoop (reference :441-638) + essential-graph optimization
         (src/Optimizer.cc:927-1189) + global BA (:48-93)."""
         K = self.cfg.max_keyframes
-        covis = np.asarray(map_ops.covisibility_matrix(state))
+        covis = np.asarray(state.covis)
         # Snapshot PRE-correction poses: essential-graph measurements must
         # come from these (the reference's NonCorrectedSim3 map,
         # src/LoopClosing.cc:488-504) — measuring from corrected poses
@@ -629,6 +629,12 @@ class LoopCloser:
             m = local_mapping.fuse_into_keyframe(state, loop_pts, g, self.cam, sf)
             state = local_mapping.apply_fusion(state, g, loop_pts, m.idx)
         state = map_ops.update_point_stats(state, self.cfg)
+        # Loop fusion changed the group's observation rows: refresh their
+        # covisibility (reference CorrectLoop ends with UpdateConnections
+        # over the group, src/LoopClosing.cc:604-615).
+        state = map_ops.refresh_covis_rows(
+            state, jnp.asarray(sorted(group), jnp.int32)
+        )
 
         # --- Essential graph (reference Optimizer.cc:927-1189) ---
         state = self._optimize_essential_graph(

@@ -130,7 +130,7 @@ def relocalize(
     """Try candidates best-score-first; return (pose, bindings, ok)."""
     wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
     q_dense = keyframe_db.dense_bow(wu, wt, n_words)
-    covis = map_ops.covisibility_matrix(state)
+    covis = state.covis
     cand_mask, scores = keyframe_db.detect_candidates(
         db, q_dense, jnp.zeros_like(db.valid), covis
     )

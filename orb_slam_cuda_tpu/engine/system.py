@@ -574,6 +574,7 @@ class System:
             jnp.full((len(sel),), slot, jnp.int32),
         )
         st = map_ops.update_point_stats(st, self.map_cfg)
+        st = map_ops.refresh_covis_rows(st, jnp.asarray([slot], jnp.int32))
         wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
         self.db = keyframe_db.insert(self.db, slot, wu, wt)
         self.state = st
@@ -810,6 +811,9 @@ class System:
         )
         st = map_ops.update_point_stats(st, self.map_cfg)
 
+        st = map_ops.refresh_covis_rows(
+            st, jnp.asarray([slot1, slot2], jnp.int32)
+        )
         # Full BA on the 2-view map (reference GlobalBundleAdjustemnt(20)).
         problem, cam_slots, pt_slots_j = local_mapping.gather_local_ba_problem(
             st, slot2, self.cam, 1.0 / jnp.asarray(self.map_cfg.level_sigma2),

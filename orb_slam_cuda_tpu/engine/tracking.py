@@ -288,7 +288,9 @@ def assemble_local_map(
     kf_mask = kf_mask & sharing
     # Add each local KF's top-10 covisibility neighbors (reference adds
     # neighbors, parents, children; covisibility is the dominant term).
-    covis = map_ops.covisibility_matrix(state)
+    # Incrementally-maintained weights (state.covis): reading them here
+    # replaced a 7.75 ms/frame on-chip recompute.
+    covis = state.covis
     neigh_w = jnp.max(jnp.where(kf_mask[:, None], covis, 0), axis=0)  # (K,)
     top_n = map_ops.top_covisible(neigh_w, 10)
     kf_mask = kf_mask.at[jnp.clip(top_n, 0)].set(

@@ -56,7 +56,18 @@ def load_map(path: str):
     extras = {
         k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")
     }
+    if "covis" not in map_kwargs:
+        K = map_kwargs["kf_valid"].shape[0]
+        map_kwargs["covis"] = jnp.zeros((K, K), jnp.int32)
     state = MapState(**map_kwargs)
+    # Rebuild the incremental covisibility from the observation table:
+    # the persisted copy may be stale relative to culls/fusions that
+    # happened after the last refresh (and pre-covis checkpoints lack it
+    # entirely). One full recompute at load time is the 2-pass pointer
+    # fixup of the reference's loadMap (src/Map.cc:183-270) in spirit.
+    from ..slam_map import ops as _map_ops
+
+    state = state._replace(covis=_map_ops.covisibility_matrix(state))
     db = kdb.BowDB(**db_kwargs)
     kf_order = [int(x) for x in data["kf_order"]]
     return state, db, kf_order, extras

@@ -172,7 +172,7 @@ def cluster_block_ba(
     if n_clusters is None:
         n_clusters = mesh.devices.size if mesh is not None else 4
     for _ in range(rounds):
-        covis = np.asarray(map_ops.covisibility_matrix(state))
+        covis = np.asarray(state.covis)
         kf_valid = np.asarray(state.kf_valid)
         assign = covisibility_clusters(covis, kf_valid, n_clusters)
         assign_j = jnp.asarray(assign)

@@ -116,6 +116,39 @@ def covisibility_matrix(state: MapState):
 
 
 @jax.jit
+def refresh_covis_rows(state: MapState, kf_ids) -> MapState:
+    """Recompute the incremental covisibility rows/columns for `kf_ids`
+    ((M,) int32, -1 padded) from the observation table — the engine's
+    UpdateConnections (reference src/KeyFrame.cc:298-388), called at
+    keyframe-rate events (insertion, triangulation+fusion, loop
+    correction); `state.covis` is read for free everywhere else."""
+    K, N = state.kf_mp.shape
+    P = state.mp_xyz.shape[0]
+    ov = _obs_valid(state)
+    seg = jnp.clip(state.kf_mp, 0)
+
+    def one_row(k):
+        safe = jnp.clip(k, 0)
+        row_mp = state.kf_mp[safe]
+        sel = jnp.zeros((P,), bool).at[jnp.clip(row_mp, 0)].set(
+            (row_mp >= 0) & state.kf_feat_valid[safe]
+        )
+        hit = ov & sel[seg]
+        w = jnp.sum(hit, axis=1).astype(jnp.int32)
+        w = jnp.where(state.kf_valid & state.kf_valid[safe], w, 0)
+        return w.at[safe].set(0)  # diagonal zero
+
+    rows = jax.vmap(one_row)(kf_ids)  # (M,K)
+    ok = kf_ids >= 0
+    safe_ids = jnp.clip(kf_ids, 0)
+    covis = state.covis
+    new_rows = jnp.where(ok[:, None], rows, covis[safe_ids])
+    covis = covis.at[safe_ids, :].set(new_rows)
+    covis = covis.at[:, safe_ids].set(new_rows.T)
+    return state._replace(covis=covis)
+
+
+@jax.jit
 def covisibility_counts_for_bindings(state: MapState, point_ids):
     """(K,) int32 — how many of `point_ids` ((M,) int32, -1 padded) each
     keyframe observes. The cheap one-row covisibility used by

@@ -182,6 +182,9 @@ def build_drifted_ring(rng, n_kf=16, drift=0.02):
     from orb_slam_cuda_tpu.slam_map import ops as map_ops
 
     st = map_ops.update_point_stats(st, CFG)
+    # Seed the incremental covisibility (the engine refreshes it at
+    # keyframe events; hand-built fixtures must do it once).
+    st = st._replace(covis=map_ops.covisibility_matrix(st))
     return st, db, T_true, T_est, vocab
 
 
