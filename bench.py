@@ -101,9 +101,10 @@ def main():
         f"tracked_ratio={slam.tracked_ratio():.2f} kfs={slam.stats.n_keyframes}"
     )
     log(
-        "NOTE: this session's TPU is tunneled (~42ms/dispatch round trip); "
-        "device compute is ~1ms extraction + ~2ms tracking per frame, so "
-        "co-located-host throughput is dispatch-bound >100 fps."
+        "NOTE: this session's TPU is tunneled (~42 ms/dispatch round trip, "
+        "~1.3 GB/s bulk); the pipelined engine hides the latency, so the "
+        "fps above is device-throughput-bound (fused step ~17 ms/frame at "
+        "this resolution), not tunnel-bound."
     )
     # Per-frame wall-time percentiles over the measured window: keyframe
     # frames pay for mapping dispatch, so the spike structure matters as

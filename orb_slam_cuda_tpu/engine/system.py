@@ -215,6 +215,7 @@ class System:
         # tracking before dispatches overlap again.
         self._sync_window = 0
 
+
         _scale_factors_c = tuple(self.map_cfg.scale_factors)
 
         def _stereo_frame_fn(left, right, voc):
@@ -369,7 +370,11 @@ class System:
             mp_visible=res.mp_visible, mp_found=res.mp_found
         )
         self._carry = carry
-        self._pending.append((self.frame_id, timestamp, frame, res))
+        import time as _time
+
+        self._pending.append(
+            (self.frame_id, timestamp, frame, res, _time.perf_counter())
+        )
         self.frame_id += 1
         # One unit of deferred mapping/loop work rides each frame slot
         # (the reference's LocalMapping thread interleaving).
@@ -378,25 +383,34 @@ class System:
         # Adaptive retirement. The configured lag is a CEILING on
         # staleness, not a fixed delay:
         #  * readbacks that have ALREADY landed are consumed immediately
-        #    (non-blocking is_ready) — on a fast device behind a slow
-        #    link, decisions then run at near-sync latency while up to L
-        #    dispatches still overlap the round trip;
-        #  * when tracking WEAKENS (last inlier count under twice the
-        #    lost threshold, or a keyframe was just requested), the
-        #    pipeline drains synchronously — a yawing camera dies if the
-        #    keyframe rescue arrives L frames after inliers collapse
-        #    (measured on the octagon-room fixture: 28% tracked with a
-        #    fixed lag-3 vs 97% risk-aware), so fragility buys back
-        #    latency for freshness, exactly like the reference blocking
-        #    on its mapping thread only when insertion demands it
-        #    (src/LocalMapping.cc stop/accept protocol).
+        #    (non-blocking is_ready);
+        #  * when tracking WEAKENS or the keyframe policy's weakness
+        #    trigger (c2) is armed, the pipeline drains synchronously —
+        #    a keyframe rescue that arrives L frames after inliers
+        #    collapse loses the race at a map frontier (measured: 28%
+        #    tracked fixed-lag vs 97% risk-aware on the yaw fixture);
+        #  * pipelining exists to hide LINK latency. When the DEVICE is
+        #    the bottleneck (e.g. CPU runs), overlapping buys no
+        #    throughput while every decision pays L frames of blindness
+        #    (measured on the 520-frame circuit at the reference policy:
+        #    inliers fell 62 -> 23 inside one stale window; 66% tracked
+        #    / 0 loops at lag 3 vs 97% / 1 loop sync) — configure
+        #    pipeline_lag=0 there. Attempts to auto-detect the regime
+        #    from inside failed: through the relay tunnel every
+        #    readiness/latency probe itself costs a round trip, so the
+        #    estimates were unmeasurable (three designs all collapsed
+        #    the on-chip benchmark 3x); the lag is an operator decision.
         def risky():
-            # Weak tracking or the post-keyframe window — NOT the c1a
-            # interval: when c2 legitimately blocks insertion past
-            # max_frames, pinning the pipeline to sync mode would cost
-            # the whole round-trip every frame for no freshness benefit.
+            th_ref = self.cfg.kf_ref_ratio
+            if th_ref is None:
+                th_ref = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
+            c2_armed = (
+                self.n_inliers_local
+                < getattr(self, "ref_tracked", 0) * min(th_ref, 1.0)
+            )
             return (
                 self._sync_window > 0
+                or c2_armed
                 or self.n_inliers_local < 2 * tracking.MIN_INLIERS_LOCAL
             )
 
@@ -407,8 +421,7 @@ class System:
             # Fragile tracking also needs the MAPPING backlog flushed:
             # the rescue is the new keyframe's triangulated points, and
             # one-unit-per-frame pumping falls behind a dense keyframe
-            # cadence (sync mode drains every frame and survives where
-            # steady-lag mode dies).
+            # cadence.
             self._drain_background()
         while self._pending:
             if (
@@ -430,7 +443,7 @@ class System:
         """Consume one in-flight frame's scalar readback and run the
         host-side state machine tail for it (trajectory, keyframe policy,
         lost handling)."""
-        fid, ts, frame, res = self._pending.popleft()
+        fid, ts, frame, res, t_disp = self._pending.popleft()
         vec = np.asarray(res.host_vec)
         ok = bool(vec[0])
         self.stats.n_frames += 1
@@ -483,7 +496,7 @@ class System:
         self._append_traj(ts, None, False)
         self.stats.n_lost += 1
         while self._pending:
-            _, ts2, _, _ = self._pending.popleft()
+            _, ts2, _, _, _ = self._pending.popleft()
             self._append_traj(ts2, None, False)
             self.stats.n_frames += 1
             self.stats.n_lost += 1

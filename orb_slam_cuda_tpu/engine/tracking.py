@@ -491,6 +491,15 @@ def full_track_step(
     # otherwise compounds exponentially (see se3.orthonormalize).
     pose3 = se3.orthonormalize(pose3)
     ok3 = ok2 & (n_i3 >= MIN_INLIERS_LOCAL)
+    # On a FAILED frame the bindings are empty, so argmax over zero
+    # sharing counts names keyframe SLOT 0 as the "reference". Persist
+    # the incoming ref instead: the next frame's TrackReferenceKeyFrame
+    # fallback must anchor to the last GOOD reference keyframe
+    # (reference keeps mpReferenceKF across failures, Tracking.cc:538) —
+    # chaining the corrupted 0-ref through the pipelined carry pinned
+    # every post-failure fallback to an arbitrary old keyframe and made
+    # one failed frame permanent.
+    ref_kf_new = jnp.where(ok3, ref_kf_new, ref_kf)
 
     # --- 4. visibility statistics (IncreaseVisible/IncreaseFound) ---
     P = state.mp_xyz.shape[0]

@@ -78,7 +78,8 @@ class PlanarScene:
         )
         return PlanarScene([p_far, p_near])
 
-    def render(self, K, Tcw, width: int, height: int) -> np.ndarray:
+    def render(self, K, Tcw, width: int, height: int,
+               return_depth: bool = False):
         """Render grayscale uint8 (height,width) from world->cam pose Tcw.
 
         Each plane's texture->image map is the homography
@@ -131,7 +132,15 @@ class PlanarScene:
             visible = (mask > 0) & (lam > 0.05) & (lam < depth)
             out = np.where(visible, warped, out)
             depth = np.where(visible, lam, depth)
+        if return_depth:
+            # lam scales rays (x,y,1): it IS the z-depth in meters.
+            return out, np.where(np.isfinite(depth), depth, 0.0).astype(np.float32)
         return out
+
+    def render_with_depth(self, K, Tcw, width: int, height: int):
+        """(gray uint8, z-depth float32 meters, 0 = no surface) — the
+        RGBD-dataset generator's ground-truth depth channel."""
+        return self.render(K, Tcw, width, height, return_depth=True)
 
     def render_stereo(self, K, Tcw, baseline: float, width: int, height: int):
         """Left/right pair; right camera displaced +baseline along cam x."""

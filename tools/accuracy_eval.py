@@ -1,0 +1,348 @@
+"""Accuracy evaluation at REFERENCE operating points (BASELINE.md configs).
+
+No real sequences exist on this machine, so this builds the honest proxy
+BASELINE.md prescribes: full-resolution synthetic sequences WITH lens
+distortion, photometric noise and exposure drift, written to disk in the
+reference's dataset formats, driven through the real CLI
+(`python -m orb_slam_cuda_tpu.run` — the L6 layer), with the reference's
+settings values VERBATIM (Examples/Monocular/TUM1.yaml and
+KITTI00-02.yaml; the fork-added Camera.width/height as required,
+reference src/Tracking.cc:124-127).
+
+Configs (BASELINE.md names):
+  mono_tum     640x480, TUM1.yaml intrinsics INCLUDING its k1..k3/p1/p2
+               distortion (images are rendered pinhole then warped
+               through the lens model, so the engine's UndistortKeyPoints
+               path is exercised for real), 1000 features, TUM format.
+  mono_kitti   1241x376, KITTI00-02.yaml intrinsics (rectified, no
+               distortion), 2000 features, KITTI odometry format.
+  stereo_kitti as mono_kitti + right camera at KITTI's 0.537 m baseline
+               (Camera.bf=386.1448).
+  rgbd_tum     as mono_tum geometry + ground-truth depth maps at TUM's
+               5000 factor.
+
+All sequences add per-frame exposure drift (slow +-8% gain sine) and
+Gaussian photometric noise (sigma=2), the degradations that separate a
+clean render from camera footage.
+
+Gate (BASELINE.md): ATE RMSE <= 1% of trajectory extent per config.
+Usage: JAX_PLATFORMS=cpu python tools/accuracy_eval.py [config ...]
+Prints one JSON line per config; record the table in PERF.md.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+ROOT = "/tmp/accuracy_eval"
+
+
+def _photometric(img, i, rng):
+    gain = 1.0 + 0.08 * np.sin(2 * np.pi * i / 180.0)
+    noisy = img.astype(np.float32) * gain + rng.normal(0, 2.0, img.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def _distort_maps(K, dist, W, H, pad):
+    """Remap tables turning a padded pinhole render into a distorted
+    image: distorted pixel -> ideal pinhole source coords."""
+    import cv2
+
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    pts = np.stack([us.reshape(-1), vs.reshape(-1)], -1)[:, None, :]
+    und = cv2.undistortPoints(pts, K, dist).reshape(H, W, 2)  # normalized
+    K_pad = K.copy()
+    K_pad[0, 2] += pad
+    K_pad[1, 2] += pad
+    mapx = (und[..., 0] * K_pad[0, 0] + K_pad[0, 2]).astype(np.float32)
+    mapy = (und[..., 1] * K_pad[1, 1] + K_pad[1, 2]).astype(np.float32)
+    return mapx, mapy, K_pad
+
+
+def _tum_quat(Twc):
+    Rm = Twc[:3, :3]
+    qw = np.sqrt(max(0.0, 1 + Rm[0, 0] + Rm[1, 1] + Rm[2, 2])) / 2
+    qx = (Rm[2, 1] - Rm[1, 2]) / (4 * qw + 1e-12)
+    qy = (Rm[0, 2] - Rm[2, 0]) / (4 * qw + 1e-12)
+    qz = (Rm[1, 0] - Rm[0, 1]) / (4 * qw + 1e-12)
+    return qx, qy, qz, qw
+
+
+def gen_tum(root, K, dist, W, H, poses, dt, depth_factor=None, scene=None):
+    import cv2
+
+    rng = np.random.default_rng(11)
+    os.makedirs(f"{root}/rgb", exist_ok=True)
+    if depth_factor:
+        os.makedirs(f"{root}/depth", exist_ok=True)
+    pad = 48
+    use_dist = dist is not None and np.abs(dist).sum() > 0
+    if use_dist:
+        mapx, mapy, K_pad = _distort_maps(K, dist, W, H, pad)
+    rgb_lines, gt_lines, assoc = [], [], []
+    for i, T in enumerate(poses):
+        ts = i * dt
+        if depth_factor:
+            img_p, depth = scene.render_with_depth(
+                K, T, W, H
+            )
+        elif use_dist:
+            img_p = scene.render(K_pad, T, W + 2 * pad, H + 2 * pad)
+        else:
+            img_p = scene.render(K, T, W, H)
+        if use_dist and not depth_factor:
+            img = cv2.remap(img_p, mapx, mapy, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        else:
+            img = img_p
+        img = _photometric(img, i, rng)
+        cv2.imwrite(f"{root}/rgb/{ts:.6f}.png", img)
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        if depth_factor:
+            d16 = np.clip(depth * depth_factor, 0, 65535).astype(np.uint16)
+            cv2.imwrite(f"{root}/depth/{ts:.6f}.png", d16)
+            assoc.append(f"{ts:.6f} rgb/{ts:.6f}.png {ts:.6f} depth/{ts:.6f}.png")
+        Twc = np.linalg.inv(T)
+        c = Twc[:3, 3]
+        qx, qy, qz, qw = _tum_quat(Twc)
+        gt_lines.append(f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                        f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}")
+    open(f"{root}/rgb.txt", "w").write("\n".join(rgb_lines) + "\n")
+    open(f"{root}/groundtruth.txt", "w").write("\n".join(gt_lines) + "\n")
+    if assoc:
+        open(f"{root}/assoc.txt", "w").write("\n".join(assoc) + "\n")
+
+
+def gen_kitti(root, K, W, H, poses, dt, scene, baseline=None):
+    import cv2
+
+    rng = np.random.default_rng(11)
+    os.makedirs(f"{root}/image_0", exist_ok=True)
+    if baseline:
+        os.makedirs(f"{root}/image_1", exist_ok=True)
+    times, gt_lines = [], []
+    for i, T in enumerate(poses):
+        if baseline:
+            left, right = scene.render_stereo(K, T, baseline, W, H)
+            cv2.imwrite(f"{root}/image_1/{i:06d}.png",
+                        _photometric(right, i, rng))
+            img = left
+        else:
+            img = scene.render(K, T, W, H)
+        cv2.imwrite(f"{root}/image_0/{i:06d}.png", _photometric(img, i, rng))
+        times.append(f"{i*dt:.6e}")
+        Twc = np.linalg.inv(T)
+        c = Twc[:3, 3]
+        qx, qy, qz, qw = _tum_quat(Twc)
+        gt_lines.append(f"{i*dt:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                        f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}")
+    open(f"{root}/times.txt", "w").write("\n".join(times) + "\n")
+    open(f"{root}/groundtruth.txt", "w").write("\n".join(gt_lines) + "\n")
+
+
+def run_cli(args, timeout=5400):
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "orb_slam_cuda_tpu.run"] + args,
+        cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"run.py failed rc={proc.returncode}")
+    stats = {}
+    for line in proc.stderr.splitlines():
+        if line.startswith("tracked "):
+            stats["tracked_pct"] = float(line.split("(")[1].split("%")[0])
+        if line.startswith("loops closed:"):
+            stats["loops"] = int(line.split(":")[1])
+    stats["wall_s"] = round(wall, 1)
+    return stats
+
+
+def score(root, traj):
+    from orb_slam_cuda_tpu.utils.evaluation import ate_rmse
+
+    est_rows = np.loadtxt(traj)
+    gt_rows = np.loadtxt(f"{root}/groundtruth.txt")
+    gt_map = {round(r[0], 6): r[1:4] for r in gt_rows}
+    est, gt = [], []
+    for r in est_rows:
+        key = round(r[0], 6)
+        if key in gt_map:
+            est.append(r[1:4])
+            gt.append(gt_map[key])
+    gt_all = gt_rows[:, 1:4]
+    extent = float(np.linalg.norm(
+        gt_all.max(axis=0) - gt_all.min(axis=0)
+    ))
+    ate = float(ate_rmse(np.asarray(est), np.asarray(gt)))
+    return ate, extent, len(est)
+
+
+def settings_yaml(path, fx, fy, cx, cy, W, H, fps, nfeat,
+                  k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0, bf=0.0,
+                  extra=""):
+    open(path, "w").write(f"""%YAML:1.0
+Camera.fx: {fx}
+Camera.fy: {fy}
+Camera.cx: {cx}
+Camera.cy: {cy}
+Camera.k1: {k1}
+Camera.k2: {k2}
+Camera.p1: {p1}
+Camera.p2: {p2}
+Camera.k3: {k3}
+Camera.bf: {bf}
+Camera.width: {W}
+Camera.height: {H}
+Camera.fps: {fps}
+ORBextractor.nFeatures: {nfeat}
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+ThDepth: 40.0
+{extra}""")
+
+
+def config_mono_tum():
+    """TUM1.yaml verbatim (fr1-class): 640x480, full distortion, 1000
+    features, 30 fps handheld-style orbit with gentle yaw."""
+    from orb_slam_cuda_tpu.utils import synthetic
+
+    root = f"{ROOT}/mono_tum"
+    K = np.array([[517.306408, 0, 318.643040],
+                  [0, 516.469215, 255.313989], [0, 0, 1]])
+    dist = np.array([0.262383, -0.953104, -0.005358, 0.002628, 1.163314])
+    if not os.path.exists(f"{root}/rgb.txt"):
+        rng = np.random.default_rng(5)
+        scene = synthetic.room_scene(rng, half_size=4.5, tex_size=1024,
+                                     n_walls=8)
+        poses = synthetic.circuit_trajectory(420, radius=1.8, laps=1.0)
+        gen_tum(root, K, dist, 640, 480, poses, 1 / 30.0, scene=scene)
+    st = settings_yaml(
+        f"{root}/settings.yaml", 517.306408, 516.469215, 318.643040,
+        255.313989, 640, 480, 30.0, 1000,
+        k1=0.262383, k2=-0.953104, p1=-0.005358, p2=0.002628, k3=1.163314,
+        extra="SLAM.max_keyframes: 256\nSLAM.max_points: 32768\n",
+    )
+    traj = f"{root}/traj.txt"
+    stats = run_cli(["--dataset", "tum", "--sensor", "mono",
+                     "--sequence", root, "--settings", f"{root}/settings.yaml",
+                     "--save-tum", traj])
+    return root, traj, stats
+
+
+def config_mono_kitti():
+    """KITTI00-02.yaml verbatim: 1241x376, 2000 features, 10 fps forward
+    circuit in a large outdoor-scale ring."""
+    from orb_slam_cuda_tpu.utils import synthetic
+
+    root = f"{ROOT}/mono_kitti"
+    K = np.array([[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]])
+    if not os.path.exists(f"{root}/times.txt"):
+        rng = np.random.default_rng(5)
+        scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
+                                     n_walls=12)
+        poses = synthetic.circuit_trajectory(300, radius=22.0, laps=1.15)
+        gen_kitti(root, K, 1241, 376, poses, 0.1, scene)
+    settings_yaml(
+        f"{root}/settings.yaml", 718.856, 718.856, 607.1928, 185.2157,
+        1241, 376, 10.0, 2000,
+        extra="SLAM.max_keyframes: 256\nSLAM.max_points: 32768\n",
+    )
+    traj = f"{root}/traj.txt"
+    stats = run_cli(["--dataset", "kitti", "--sensor", "mono",
+                     "--sequence", root, "--settings", f"{root}/settings.yaml",
+                     "--save-tum", traj])
+    return root, traj, stats
+
+
+def config_stereo_kitti():
+    from orb_slam_cuda_tpu.utils import synthetic
+
+    root = f"{ROOT}/stereo_kitti"
+    K = np.array([[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]])
+    if not os.path.exists(f"{root}/times.txt"):
+        rng = np.random.default_rng(5)
+        scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
+                                     n_walls=12)
+        poses = synthetic.circuit_trajectory(300, radius=22.0, laps=1.15)
+        gen_kitti(root, K, 1241, 376, poses, 0.1, scene, baseline=0.537)
+    settings_yaml(
+        f"{root}/settings.yaml", 718.856, 718.856, 607.1928, 185.2157,
+        1241, 376, 10.0, 2000, bf=386.1448,
+        extra="SLAM.max_keyframes: 256\nSLAM.max_points: 32768\n",
+    )
+    traj = f"{root}/traj.txt"
+    stats = run_cli(["--dataset", "kitti", "--sensor", "stereo",
+                     "--sequence", root, "--settings", f"{root}/settings.yaml",
+                     "--save-tum", traj])
+    return root, traj, stats
+
+
+def config_rgbd_tum():
+    """fr2/desk-class: 640x480 RGBD (TUM depth factor 5000), rectified
+    intrinsics (TUM RGBD depth is registered to the undistorted frame in
+    most tooling; distortion zero keeps depth/rgb consistent here)."""
+    from orb_slam_cuda_tpu.utils import synthetic
+
+    root = f"{ROOT}/rgbd_tum"
+    K = np.array([[520.908620, 0, 325.141442],
+                  [0, 521.007327, 249.701764], [0, 0, 1]])
+    if not os.path.exists(f"{root}/rgb.txt"):
+        rng = np.random.default_rng(5)
+        scene = synthetic.room_scene(rng, half_size=4.5, tex_size=1024,
+                                     n_walls=8)
+        poses = synthetic.circuit_trajectory(360, radius=1.8, laps=1.0)
+        gen_tum(root, K, None, 640, 480, poses, 1 / 30.0,
+                depth_factor=5000.0, scene=scene)
+    settings_yaml(
+        f"{root}/settings.yaml", 520.908620, 521.007327, 325.141442,
+        249.701764, 640, 480, 30.0, 1000, bf=40.0,
+        extra="DepthMapFactor: 5000.0\nSLAM.max_keyframes: 256\n"
+              "SLAM.max_points: 32768\n",
+    )
+    traj = f"{root}/traj.txt"
+    stats = run_cli(["--dataset", "tum", "--sensor", "rgbd",
+                     "--sequence", root, "--settings", f"{root}/settings.yaml",
+                     "--association", f"{root}/assoc.txt",
+                     "--save-tum", traj])
+    return root, traj, stats
+
+
+CONFIGS = {
+    "mono_tum": config_mono_tum,
+    "mono_kitti": config_mono_kitti,
+    "stereo_kitti": config_stereo_kitti,
+    "rgbd_tum": config_rgbd_tum,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        root, traj, stats = CONFIGS[name]()
+        ate, extent, n = score(root, traj)
+        print(json.dumps({
+            "metric": f"accuracy_{name}",
+            "ate_rmse_m": round(ate, 4),
+            "extent_m": round(extent, 2),
+            "ate_pct_extent": round(100 * ate / extent, 2),
+            "gate_1pct": ate <= 0.01 * extent,
+            "n_scored": n,
+            **stats,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

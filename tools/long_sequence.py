@@ -77,7 +77,11 @@ ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
 SLAM.max_keyframes: 256
 SLAM.max_points: 32768
-SLAM.pipeline_lag: 3
+# pipeline_lag hides LINK latency (TPU tunnel); this tool runs on CPU
+# where the DEVICE is the bottleneck and lag-stale keyframe decisions
+# cost robustness for zero throughput (66%/0 loops at lag 3 vs 97%/1
+# loop sync) - see SystemConfig.pipeline_lag.
+SLAM.pipeline_lag: 0
 """)
 
 
