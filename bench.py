@@ -63,6 +63,20 @@ def main():
 
     import os
 
+    # BENCH_VOCAB=/path/ORBvoc.txt runs the whole pipeline against a
+    # stock-format vocabulary (e.g. the 982k-word file from
+    # tools/bench_vocab_scale.py) instead of the synthetic 512-word one
+    # — BoW transform + database scoring at realistic vocabulary scale.
+    vocab = None
+    vocab_path = os.environ.get("BENCH_VOCAB")
+    if vocab_path:
+        from orb_slam_cuda_tpu.vocab import load_orbvoc_text
+
+        t0 = time.time()
+        vocab = load_orbvoc_text(vocab_path)
+        log(f"vocabulary loaded in {time.time()-t0:.1f}s "
+            f"({vocab.n_words} words)")
+
     cfg = SystemConfig(
         camera=cam, sensor=Sensor.MONOCULAR, n_features=N_FEATURES,
         max_keyframes=128, max_points=16384, enable_loop_closing=True,
@@ -76,7 +90,7 @@ def main():
         # (SystemConfig.pipeline_lag).
         pipeline_lag=int(os.environ.get("BENCH_LAG", "3")),
     )
-    slam = System(cfg)
+    slam = System(cfg, vocab=vocab)
 
     log("warmup (compiles)...")
     t0 = time.time()

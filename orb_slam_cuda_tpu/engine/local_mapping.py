@@ -569,17 +569,26 @@ class LocalMapper:
     67-135, run synchronously per keyframe here; async dispatch is the
     engine-level roadmap)."""
 
-    def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=12,
+    def __init__(self, cfg: MapConfig, cam: Camera, n_triangulate_neighbors=20,
+                 n_fuse_neighbors=40,
                  lba_local=16, lba_fixed=8, lba_points=4096,
                  kf_cull_redundancy=0.9):
         # n_triangulate_neighbors: reference uses 20 covisibility
         # neighbors for mono, 10 otherwise (src/LocalMapping.cc:246).
+        # n_fuse_neighbors: the reference fuses over those neighbors PLUS
+        # up to 5 second-order neighbors each (src/LocalMapping.cc:
+        # 497-515) — approximated here by a wider top-covisibility set.
+        # Fusion breadth is what grants fresh triangulations their 3rd
+        # observation before the 2-keyframe probation deadline; at 12
+        # first-order-only targets, 36% of new points were culled for
+        # obs<=2 and the map ran 10x thinner than the reference's.
         # kf_cull_redundancy: reference hardcodes 0.9 (src/LocalMapping.cc:
         # 668-736, "90% of the MapPoints it sees are seen in at least
         # other 3 keyframes"); exposed as a tunable.
         self.cfg = cfg
         self.cam = cam
         self.n_tri_nb = n_triangulate_neighbors
+        self.n_fuse_nb = max(n_fuse_neighbors, n_triangulate_neighbors)
         self.kf_cull_redundancy = kf_cull_redundancy
         self.lba_local = lba_local
         self.lba_fixed = lba_fixed
@@ -664,7 +673,8 @@ class LocalMapper:
         state = map_ops.refresh_covis_rows(
             state, jnp.asarray([kf_slot], jnp.int32)
         )
-        nb_arr = top_covis_neighbors(state, np.int32(kf_slot), NB)
+        nb_fuse = top_covis_neighbors(state, np.int32(kf_slot), self.n_fuse_nb)
+        nb_arr = nb_fuse[:NB]
 
         MAX_NEW = 256
         born = len(kf_order)
@@ -677,16 +687,18 @@ class LocalMapper:
             self.scale_factors, self.level_sigma2, max_new=MAX_NEW,
         )
 
-        # --- SearchInNeighbors fusion (both directions, one dispatch) ---
-        state = fuse_all(state, np.int32(kf_slot), nb_arr, cam, self.scale_factors)
+        # --- SearchInNeighbors fusion (both directions, one dispatch;
+        # wide target set approximating the reference's first+second
+        # order neighbors, src/LocalMapping.cc:497-515) ---
+        state = fuse_all(state, np.int32(kf_slot), nb_fuse, cam, self.scale_factors)
         state = map_ops.update_point_stats(state, self.cfg)
         # Triangulation + fusion changed the observation rows of the new
-        # keyframe AND its neighbors: refresh their covisibility
+        # keyframe AND its fusion targets: refresh their covisibility
         # (reference SearchInNeighbors ends with UpdateConnections,
         # src/LocalMapping.cc:565-571).
         state = map_ops.refresh_covis_rows(
             state,
-            jnp.concatenate([jnp.asarray([kf_slot], jnp.int32), nb_arr]),
+            jnp.concatenate([jnp.asarray([kf_slot], jnp.int32), nb_fuse]),
         )
 
         # --- Local BA round 1 (5 iters, reference Optimizer.cc:782) ---

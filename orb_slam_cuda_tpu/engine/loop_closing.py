@@ -46,15 +46,16 @@ class GBAPending:
     discard the finished result."""
 
     __slots__ = ("idx", "result", "kfs", "kf_gen_snap", "pt_snap",
-                 "problem", "iters_done")
+                 "problem", "iters_done", "cam_slots")
 
     def __init__(self, idx, result, kfs, kf_gen_snap, pt_snap,
-                 problem=None, iters_done=0):
+                 problem=None, iters_done=0, cam_slots=None):
         self.idx = idx
         self.result = result
         self.kfs = kfs
         self.problem = problem
         self.iters_done = iters_done
+        self.cam_slots = cam_slots
         self.kf_gen_snap = kf_gen_snap
         self.pt_snap = pt_snap
 
@@ -116,7 +117,12 @@ def _bow_scores_vs_neighbors(db, state: MapState, kf_slot, n_words):
     (the loop-candidate floor, reference LoopClosing.cc:146-165)."""
     q = keyframe_db.dense_bow(db.word[kf_slot], db.weight[kf_slot], n_words)
     s = keyframe_db.scores(db, q)
-    covis = state.covis
+    # FRESH covisibility, not the incrementally-maintained state.covis:
+    # loop detection is keyframe-rate (staleness costs nothing here) and
+    # its exclusion/grouping margins proved sensitive to the incremental
+    # rows' tolerated drift (the circuit fixture's marginal Sim3 funnel
+    # flipped from pass to fail on it).
+    covis = map_ops.covisibility_matrix(state)
     neigh = (covis[kf_slot] >= 15) & db.valid
     min_score = jnp.min(jnp.where(neigh, s, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 1.0)
@@ -251,7 +257,7 @@ def loop_points_projection_gate(
 
     Returns (n_total, point_match (N,) point id per current-KF feature).
     """
-    covis = state.covis
+    covis = map_ops.covisibility_matrix(state)  # fresh: see _bow_scores
     loop_kfs = ((covis[cand] >= 15) | (jnp.arange(covis.shape[0]) == cand)) & state.kf_valid
     pts_mask = map_ops.points_of_keyframes(state, loop_kfs)
     P = state.mp_xyz.shape[0]
@@ -562,7 +568,7 @@ class LoopCloser:
         """CorrectLoop (reference :441-638) + essential-graph optimization
         (src/Optimizer.cc:927-1189) + global BA (:48-93)."""
         K = self.cfg.max_keyframes
-        covis = np.asarray(state.covis)
+        covis = np.asarray(map_ops.covisibility_matrix(state))  # fresh
         # Snapshot PRE-correction poses: essential-graph measurements must
         # come from these (the reference's NonCorrectedSim3 map,
         # src/LoopClosing.cc:488-504) — measuring from corrected poses
@@ -777,8 +783,16 @@ class LoopCloser:
 
         kf_gen / mp_valid_host snapshots let finish_global_ba recognize
         slots recycled while the solve was in flight."""
+        # Compact the camera set to the LIVE keyframes (padded to a
+        # power-of-two bucket so recompiles amortize): the previous
+        # full-capacity gather built K*N edges regardless of occupancy —
+        # 2x waste at default capacity, 4-8x on sparse grown maps.
+        C = max(8, 1 << max(0, len(kf_order) - 1).bit_length())
+        cam_arr = np.full(C, -1, np.int32)
+        cam_arr[: len(kf_order)] = kf_order
         problem, cam_slots, pt_slots = gather_global_ba_problem(
-            state, kf_order[0], 1.0 / jnp.asarray(self.cfg.level_sigma2),
+            state, jnp.asarray(cam_arr), kf_order[0],
+            1.0 / jnp.asarray(self.cfg.level_sigma2),
         )
         chunk = min(self.GBA_CHUNK_ITERS, self.GBA_TOTAL_ITERS)
         result = self._solve_chunk(problem, chunk)
@@ -788,6 +802,7 @@ class LoopCloser:
             kfs=list(kf_order),
             problem=problem,
             iters_done=chunk,
+            cam_slots=cam_arr,
             kf_gen_snap=(np.asarray(kf_gen).copy()
                          if kf_gen is not None else None),
             pt_snap=(np.asarray(mp_valid_host).copy()
@@ -861,39 +876,64 @@ class LoopCloser:
         cp = np.full(pad, -1, np.int32)
         cc[: len(chain_child)] = chain_child
         cp[: len(chain_parent)] = chain_parent
+        gba_pose_full = _expand_gba_poses(
+            state.kf_pose, pending.result.cam_pose,
+            jnp.asarray(pending.cam_slots),
+        )
         return _apply_gba(
-            state, pending.result.cam_pose, pending.result.xyz,
+            state, gba_pose_full, pending.result.xyz,
             jnp.asarray(kf_apply), jnp.asarray(pt_apply),
             jnp.asarray(cc), jnp.asarray(cp),
         )
 
 
 @jax.jit
-def gather_global_ba_problem(state: MapState, fixed_slot, level_inv_sigma2):
-    """Whole-map BA problem: every valid keyframe is a camera (fixed_slot
-    pinned for gauge), every valid point included, edge list = the full
-    (K,N) observation table."""
+def _expand_gba_poses(kf_pose_full, cam_pose_c, cam_slots):
+    """Scatter compacted GBA camera poses back onto the (K,4,4) slot
+    table (slots not in the solve keep their current pose)."""
+    ok = cam_slots >= 0
+    safe = jnp.clip(cam_slots, 0)
+    return kf_pose_full.at[safe].set(
+        jnp.where(ok[:, None, None], cam_pose_c, kf_pose_full[safe])
+    )
+
+
+@jax.jit
+def gather_global_ba_problem(state: MapState, cam_slots, fixed_slot,
+                             level_inv_sigma2):
+    """Whole-map BA problem over the LIVE keyframes: `cam_slots` ((C,)
+    int32, -1 padded, C a static bucket) lists them; fixed_slot pinned
+    for gauge; every valid point included; edge list = the compacted
+    (C,N) observation rows."""
+    C = cam_slots.shape[0]
     K, N = state.kf_mp.shape
     P = state.mp_xyz.shape[0]
-    cam_slots = jnp.arange(K, dtype=jnp.int32)
-    cam_fixed = ~state.kf_valid | (cam_slots == fixed_slot)
+    cam_ok = (cam_slots >= 0)
+    safe_cam = jnp.clip(cam_slots, 0)
+    cam_ok = cam_ok & state.kf_valid[safe_cam]
+    cam_fixed = ~cam_ok | (cam_slots == fixed_slot)
     pt_slots = jnp.arange(P, dtype=jnp.int32)
 
-    rows_valid = (state.kf_mp >= 0) & state.kf_valid[:, None] & state.kf_feat_valid
-    obs_pt = jnp.where(rows_valid, state.kf_mp, -1)
-    obs_cam = jnp.broadcast_to(cam_slots[:, None], (K, N))
+    rows_mp = state.kf_mp[safe_cam]  # (C,N)
+    rows_valid = (
+        (rows_mp >= 0) & cam_ok[:, None] & state.kf_feat_valid[safe_cam]
+    )
+    obs_pt = jnp.where(rows_valid, rows_mp, -1)
+    obs_cam = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, N)
+    )
     inv_sig = jnp.asarray(level_inv_sigma2, jnp.float32)
-    obs_isig = inv_sig[jnp.clip(state.kf_oct, 0, inv_sig.shape[0] - 1)]
+    obs_isig = inv_sig[jnp.clip(state.kf_oct[safe_cam], 0, inv_sig.shape[0] - 1)]
 
     problem = ba.BAProblem(
-        cam_pose=state.kf_pose,
+        cam_pose=state.kf_pose[safe_cam],
         cam_fixed=cam_fixed,
         xyz=state.mp_xyz,
         pt_valid=state.mp_valid,
         obs_cam=obs_cam.reshape(-1),
         obs_pt=obs_pt.reshape(-1),
-        obs_uv=state.kf_uv.reshape(-1, 2),
-        obs_ur=jnp.where(rows_valid, state.kf_right, -1.0).reshape(-1),
+        obs_uv=state.kf_uv[safe_cam].reshape(-1, 2),
+        obs_ur=jnp.where(rows_valid, state.kf_right[safe_cam], -1.0).reshape(-1),
         obs_inv_sigma2=obs_isig.reshape(-1),
         obs_valid=rows_valid.reshape(-1),
     )

@@ -250,8 +250,15 @@ class System:
 
         self.state = mstate.empty(self.map_cfg)
         self.db = keyframe_db.empty(config.max_keyframes, config.n_features)
+        mono = config.sensor == Sensor.MONOCULAR
         self.mapper = local_mapping.LocalMapper(
-            self.map_cfg, cam, kf_cull_redundancy=config.kf_cull_redundancy
+            self.map_cfg, cam, kf_cull_redundancy=config.kf_cull_redundancy,
+            # Reference neighbor budgets (src/LocalMapping.cc:243-246,
+            # 487-515): nn=20 mono / 10 otherwise for triangulation;
+            # fusion extends to second-order neighbors, approximated by
+            # a 2x-wider top-covisibility target set.
+            n_triangulate_neighbors=20 if mono else 10,
+            n_fuse_neighbors=40 if mono else 20,
         )
         self.scale_factors = jnp.asarray(self.map_cfg.scale_factors, jnp.float32)
 

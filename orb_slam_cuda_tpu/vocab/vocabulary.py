@@ -255,6 +255,14 @@ def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
     then one line per node: `parent is_leaf d0..d31 weight`, nodes in
     BFS order). Reference load: TemplatedVocabulary.h:241 loadFromTextFile.
 
+    `levelsup` follows DBoW2 semantics: levels up FROM THE LEAVES — the
+    direct-index node lives at tree level `L - levelsup` from the root
+    (TemplatedVocabulary.h:1226 `nid_level = m_L - levelsup`; ORB-SLAM
+    passes 4, src/Frame.cc:399). For the stock k=10 L=6 vocabulary that
+    is level 2 = 100 gating nodes; interpreting 4 as a from-root depth
+    (10k nodes) made SearchByBoW 100x more selective than the reference
+    and collapsed tracking fallbacks on the stock vocabulary.
+
     Uses the native C++ scanner (native/vocab_loader.cpp via
     vocab/native_loader.py) when built — the text parse of the stock
     vocabulary dominates the reference's startup (SURVEY.md §3.1) — and
@@ -269,7 +277,7 @@ def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
         return _assemble_from_flat(
             np.asarray(parents), np.asarray(is_leaf).astype(bool),
             np.asarray(desc_bytes, np.uint8), np.asarray(weights),
-            int(k), int(depth), levelsup,
+            int(k), int(depth), max(1, int(depth) - levelsup),
         )
 
     with open(path) as f:
@@ -283,7 +291,7 @@ def load_orbvoc_text(path: str, levelsup: int = 4) -> Vocabulary:
     desc_bytes = body[:, 2:34].astype(np.uint8)
     weights = body[:, 34]
     return _assemble_from_flat(parents, is_leaf, desc_bytes, weights,
-                               k, depth, levelsup)
+                               k, depth, max(1, int(depth) - levelsup))
 
 
 def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth,

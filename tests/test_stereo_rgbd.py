@@ -285,3 +285,31 @@ class TestLocalizationVisualOdometry:
         assert tracked_far >= 10, "lost the pose in the mapless region"
         # Localization mode must not have grown the map.
         assert slam.stats.n_keyframes <= 12
+
+        # Map RE-ACQUISITION (the other half of the reference's mbVO
+        # duality, src/Tracking.cc:383-470: while surviving on VO the
+        # system keeps trying to relocalize, and a successful reloc
+        # flips mbVO back off): walk back into the mapped region and
+        # the engine must resume MAP tracking, not stay on odometry.
+        reloc_before = slam.stats.n_reloc
+        vo_before = slam.stats.n_vo_frames
+        reacquired = 0
+        for j in range(12):
+            T = np.eye(4)
+            T[0, 3] = -max(0.0, 0.5 - 0.1 * j)
+            img = scene.render(K, T, W, H)
+            pose = slam.track_rgbd(img, render_depth(scene, K, T), 30.0 + j * 0.1)
+            if pose is not None:
+                reacquired += 1
+        assert reacquired >= 6, "did not resume tracking in the mapped region"
+        # Once the map is reacquired, frames bind to MAP points again
+        # (mbVO off). Re-acquisition may come through an explicit
+        # relocalization OR through the fused step's reference-keyframe
+        # fallback once the map is back in view — the reference
+        # similarly accepts whichever of bOKMM/bOKReloc lands first
+        # (src/Tracking.cc:455-468).
+        mp = np.asarray(slam.last_frame.mp)
+        assert slam.stats.n_reloc > reloc_before or (mp >= 0).sum() >= 30, (
+            f"map never reacquired (reloc={slam.stats.n_reloc}, "
+            f"bindings={(mp >= 0).sum()})"
+        )

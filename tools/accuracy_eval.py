@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-ROOT = "/tmp/accuracy_eval"
+ROOT = "/tmp/accuracy_eval_v2"
 
 
 def _photometric(img, i, rng):
@@ -227,7 +227,7 @@ def config_mono_tum():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=4.5, tex_size=1024,
                                      n_walls=8)
-        poses = synthetic.circuit_trajectory(420, radius=1.8, laps=1.0)
+        poses = synthetic.circuit_trajectory(460, radius=1.8, laps=1.25)
         gen_tum(root, K, dist, 640, 480, poses, 1 / 30.0, scene=scene)
     st = settings_yaml(
         f"{root}/settings.yaml", 517.306408, 516.469215, 318.643040,
@@ -253,7 +253,7 @@ def config_mono_kitti():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
                                      n_walls=12)
-        poses = synthetic.circuit_trajectory(300, radius=22.0, laps=1.15)
+        poses = synthetic.circuit_trajectory(340, radius=22.0, laps=1.3)
         gen_kitti(root, K, 1241, 376, poses, 0.1, scene)
     settings_yaml(
         f"{root}/settings.yaml", 718.856, 718.856, 607.1928, 185.2157,
@@ -276,7 +276,7 @@ def config_stereo_kitti():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
                                      n_walls=12)
-        poses = synthetic.circuit_trajectory(300, radius=22.0, laps=1.15)
+        poses = synthetic.circuit_trajectory(340, radius=22.0, laps=1.3)
         gen_kitti(root, K, 1241, 376, poses, 0.1, scene, baseline=0.537)
     settings_yaml(
         f"{root}/settings.yaml", 718.856, 718.856, 607.1928, 185.2157,
@@ -303,7 +303,7 @@ def config_rgbd_tum():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=4.5, tex_size=1024,
                                      n_walls=8)
-        poses = synthetic.circuit_trajectory(360, radius=1.8, laps=1.0)
+        poses = synthetic.circuit_trajectory(400, radius=1.8, laps=1.25)
         gen_tum(root, K, None, 640, 480, poses, 1 / 30.0,
                 depth_factor=5000.0, scene=scene)
     settings_yaml(
