@@ -96,40 +96,51 @@ def optimize_pose(
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
     def lm_rounds(T, active, robust):
-        def lm_step(carry, _):
-            T, lam, prev_err = carry
-            r, J, depth_ok = _residual_jacobian(T, Xw, uv, ur_eff, cam)
+        # One residual+Jacobian evaluation PER ITERATION: the accepted
+        # point's normal equations (H, g, err) ride the scan carry, so a
+        # candidate is evaluated exactly once — accepted it becomes the
+        # new linearization, rejected the old H/g take another step at a
+        # larger lambda. (The previous formulation evaluated residuals
+        # twice per iteration — once with J at the accepted point, once
+        # err-only at the candidate — doubling the serial small-op chain
+        # that dominates pose-opt latency on the accelerator.)
+        def normal_eqs(T_eval):
+            r, J, depth_ok = _residual_jacobian(T_eval, Xw, uv, ur_eff, cam)
             use = active & depth_ok
-            # Zero the stereo component for mono edges.
             comp_mask = jnp.stack(
                 [use, use, use & is_stereo], axis=-1
             ).astype(r.dtype)
             chi2 = _edge_chi2(r, inv_sigma2, is_stereo)
-            # Huber IRLS weight on sqrt(chi2).
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w_rob = jnp.where(robust & (e > delta), delta / e, 1.0)
-            w = inv_sigma2 * w_rob  # (M,)
+            w = inv_sigma2 * w_rob
             rw = r * comp_mask
             Jw = J * comp_mask[..., None]
             H = jnp.einsum("mki,mkj,m->ij", Jw, Jw, w)
             g = jnp.einsum("mki,mk,m->i", Jw, rw, w)
             err = jnp.sum(chi2 * jnp.where(use, w_rob, 0.0))
+            return H, g, err
+
+        H0, g0, err0 = normal_eqs(T)
+
+        def lm_step(carry, _):
+            T_acc, H, g, err_acc, lam = carry
             D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
             step = -jnp.linalg.solve(H + lam * D, g)
-            T_new = se3.retract(T, step)
-            r2, _, d2ok = _residual_jacobian(T_new, Xw, uv, ur_eff, cam)
-            chi2_new = _edge_chi2(r2, inv_sigma2, is_stereo)
-            e2 = jnp.sqrt(jnp.maximum(chi2_new, 1e-12))
-            w2 = jnp.where(robust & (e2 > delta), delta / e2, 1.0)
-            err_new = jnp.sum(chi2_new * jnp.where(active & d2ok, w2, 0.0))
-            improved = err_new < err
-            T = jnp.where(improved, T_new, T)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            return (T, lam, err), None
+            T_new = se3.retract(T_acc, step)
+            H_new, g_new, err_new = normal_eqs(T_new)
+            improved = err_new < err_acc
+            T_acc = jnp.where(improved, T_new, T_acc)
+            H = jnp.where(improved, H_new, H)
+            g = jnp.where(improved, g_new, g)
+            err_acc = jnp.where(improved, err_new, err_acc)
+            lam = jnp.clip(
+                jnp.where(improved, lam * 0.5, lam * 4.0), 1e-9, 1e6
+            )
+            return (T_acc, H, g, err_acc, lam), None
 
-        (T, _, _), _ = jax.lax.scan(
-            lm_step, (T, jnp.float32(1e-3), jnp.float32(jnp.inf)),
+        (T, _, _, _, _), _ = jax.lax.scan(
+            lm_step, (T, H0, g0, err0, jnp.float32(1e-3)),
             None, length=iters_per_round,
         )
         return T

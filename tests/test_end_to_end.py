@@ -98,6 +98,7 @@ class TestMonocularEndToEnd:
         ate = ate_rmse(est, gt)
         assert ate < 0.10, f"pipelined ATE {ate:.3f} too high"
 
+    @pytest.mark.slow
     def test_pipelined_recovers_from_blackout(self, scene_and_cam):
         # Loss is discovered L frames late; the drain + relocalize path
         # must still recover (mirrors the sync blackout test below).
@@ -117,6 +118,7 @@ class TestMonocularEndToEnd:
         assert slam.stats.n_reloc >= 1
         assert status["state"] == "OK"
 
+    @pytest.mark.slow
     def test_capacity_growth(self, scene_and_cam):
         # Capacity doubling (SURVEY §7b): start with tiny keyframe/point
         # caps and an aggressive keyframe cadence; the engine must grow
@@ -137,6 +139,7 @@ class TestMonocularEndToEnd:
         ate = ate_rmse(est, gt)
         assert ate < 0.10, f"post-growth ATE {ate:.3f} too high"
 
+    @pytest.mark.slow
     def test_relocalizes_after_blackout(self, scene_and_cam):
         # Blackout placed late enough that the map has >5 keyframes —
         # losing earlier triggers the reference's small-map full reset

@@ -156,6 +156,7 @@ class TestCheckpoint:
         # Localization mode must not grow the map.
         assert len(slam2.kf_order) == len(slam.kf_order)
 
+    @pytest.mark.slow
     def test_resume_continue_mapping(self, rng, tmp_path):
         """save -> load -> CONTINUE MAPPING: the checkpoint carries the
         mapper bookkeeping (probation list, allocator cursors, keyframe

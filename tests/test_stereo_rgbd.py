@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from orb_slam_cuda_tpu.engine import Sensor, System, SystemConfig
 from orb_slam_cuda_tpu.engine import stereo as stereo_mod
@@ -59,6 +60,7 @@ class TestStereoMatching:
 
 
 class TestStereoEndToEnd:
+    @pytest.mark.slow
     def test_tracks_with_metric_scale(self, rng):
         cam = stereo_cam()
         scene = synthetic.PlanarScene.default(
@@ -249,6 +251,7 @@ class TestLocalizationVisualOdometry:
     survives mapless regions by tracking frame-to-frame on the last
     frame's depth points."""
 
+    @pytest.mark.slow
     def test_vo_tracks_through_mapless_region(self, rng):
         cam = stereo_cam()
         # Texture everywhere; the map only covers the start.
