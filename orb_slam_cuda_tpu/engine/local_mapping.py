@@ -460,12 +460,12 @@ def gather_local_ba_problem(
     row = state.covis[kf_new]  # (K,)
     top = map_ops.top_covisible(row, n_local - 1)  # (n_local-1,)
     local = jnp.concatenate([jnp.asarray([kf_new], jnp.int32), top])
-    local_mask = jnp.zeros((K,), bool).at[jnp.clip(local, 0)].set(local >= 0)
+    local_mask = jnp.zeros((K,), bool).at[jnp.clip(local, 0)].max(local >= 0)
     local_mask = local_mask & state.kf_valid
 
     pt_mask = map_ops.points_of_keyframes(state, local_mask)
     pt_slots = jnp.nonzero(pt_mask, size=n_points, fill_value=-1)[0].astype(jnp.int32)
-    pt_sel = jnp.zeros((P,), bool).at[jnp.clip(pt_slots, 0)].set(pt_slots >= 0)
+    pt_sel = jnp.zeros((P,), bool).at[jnp.clip(pt_slots, 0)].max(pt_slots >= 0)
 
     # Fixed frontier: non-local KFs observing selected points.
     sees = (state.kf_mp >= 0) & pt_sel[jnp.clip(state.kf_mp, 0)]
@@ -494,9 +494,9 @@ def gather_local_ba_problem(
     cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | ~any_fixed)
 
     # Point local index lookup.
-    inv = jnp.full((P,), -1, jnp.int32).at[jnp.clip(pt_slots, 0)].set(
-        jnp.where(pt_slots >= 0, jnp.arange(n_points, dtype=jnp.int32), -1)
-    )
+    inv = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(pt_slots >= 0, pt_slots, P)
+    ].set(jnp.arange(n_points, dtype=jnp.int32), mode='drop')
 
     rows_mp = state.kf_mp[safe_cam]  # (C,N)
     rows_valid = (

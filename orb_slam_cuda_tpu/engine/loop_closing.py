@@ -185,7 +185,7 @@ def sim3_search_and_refine(
     has2 = (mp2 >= 0) & state.mp_valid[p2]
     already1 = prior_feat >= 0
     N = mp1.shape[0]
-    already2 = jnp.zeros((N,), bool).at[jnp.clip(prior_feat, 0)].set(already1)
+    already2 = jnp.zeros((N,), bool).at[jnp.clip(prior_feat, 0)].max(already1)
 
     sf = jnp.asarray(scale_factors, jnp.float32)
 
@@ -291,12 +291,12 @@ def loop_points_projection_gate(
     mp2 = state.kf_mp[cand]
     jm = jnp.clip(feat_matched, 0)
     matched_pts = jnp.where(feat_matched >= 0, mp2[jm], -1)
-    already_pt = jnp.zeros((P,), bool).at[jnp.clip(matched_pts, 0)].set(matched_pts >= 0)
+    already_pt = jnp.zeros((P,), bool).at[jnp.clip(matched_pts, 0)].max(matched_pts >= 0)
     q_valid = pv & z_ok & in_img & band & (view_cos > 0.5) & ~already_pt[pc]
 
     # Features already matched are excluded targets (vpMatched[idx] check).
     N = mp2.shape[0]
-    feat_taken = jnp.zeros((N,), bool).at[jnp.clip(feat_matched, 0)].set(feat_matched >= 0)
+    feat_taken = jnp.zeros((N,), bool).at[jnp.clip(feat_matched, 0)].max(feat_matched >= 0)
     m = search.by_projection(
         jnp.stack([u, v], axis=-1), hamming.bipolar(state.mp_desc[pc]),
         q_valid, pred,
@@ -309,8 +309,8 @@ def loop_points_projection_gate(
     )
     # Combined per-feature point matches: Sim3-stage matches + projections.
     point_match = jnp.full((N,), -1, jnp.int32)
-    point_match = point_match.at[jnp.clip(m.idx, 0)].set(
-        jnp.where(m.idx >= 0, pts, point_match[jnp.clip(m.idx, 0)])
+    point_match = point_match.at[jnp.where(m.idx >= 0, m.idx, N)].set(
+        pts, mode='drop'
     )
     point_match = jnp.where(feat_matched >= 0, jnp.where(matched_pts >= 0, matched_pts, point_match), point_match)
     n_total = jnp.sum(point_match >= 0)
@@ -891,11 +891,12 @@ class LoopCloser:
 def _expand_gba_poses(kf_pose_full, cam_pose_c, cam_slots):
     """Scatter compacted GBA camera poses back onto the (K,4,4) slot
     table (slots not in the solve keep their current pose)."""
-    ok = cam_slots >= 0
-    safe = jnp.clip(cam_slots, 0)
-    return kf_pose_full.at[safe].set(
-        jnp.where(ok[:, None, None], cam_pose_c, kf_pose_full[safe])
-    )
+    # Pads (-1) route to an out-of-bounds sentinel K and are dropped;
+    # clip+where could silently discard slot 0's optimized pose when a
+    # pad write landed on it (duplicate-index .set, last write wins).
+    K = kf_pose_full.shape[0]
+    idx = jnp.where(cam_slots >= 0, cam_slots, K)
+    return kf_pose_full.at[idx].set(cam_pose_c, mode='drop')
 
 
 @jax.jit

@@ -73,7 +73,7 @@ def _staged_refine(
         keyframe's map points not already found into the frame and
         window-match."""
         P = state.mp_xyz.shape[0]
-        already = jnp.zeros((P,), bool).at[jnp.clip(mp, 0)].set(mp >= 0)
+        already = jnp.zeros((P,), bool).at[jnp.clip(mp, 0)].max(mp >= 0)
         q_ok = kf_feat_ok & ~already[jnp.clip(kf_mp, 0)]
         Xw = state.mp_xyz[jnp.clip(kf_mp, 0)]
         Xc = se3.transform(pose, Xw)
@@ -90,8 +90,8 @@ def _staged_refine(
             t_has_point=mp >= 0,
         )
         ok = m.idx >= 0
-        j = jnp.clip(m.idx, 0)
-        mp_new = mp.at[j].set(jnp.where(ok, kf_mp, mp[j]))
+        N_t = mp.shape[0]
+        mp_new = mp.at[jnp.where(ok, m.idx, N_t)].set(kf_mp, mode='drop')
         return mp_new
 
     def wide_stage(_):
@@ -178,9 +178,7 @@ def relocalize(
         n = frame.capacity
         mp = jnp.full((n,), -1, jnp.int32)
         keep = res.inliers & ok_pair
-        mp = mp.at[jnp.clip(m.idx, 0)].set(
-            jnp.where(keep, kf_mp, mp[jnp.clip(m.idx, 0)])
-        )
+        mp = mp.at[jnp.where(keep, m.idx, n)].set(kf_mp, mode='drop')
         # Stages 3-5: optimize -> wide th=10 re-search -> re-optimize ->
         # narrow th=3 retry, ONE dispatch (reference
         # src/Tracking.cc:1500-1578).

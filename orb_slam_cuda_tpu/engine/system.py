@@ -163,7 +163,7 @@ class System:
             import math
 
             depth = max(2, int(round(math.log(config.vocab_words) / math.log(k))))
-            vocab = build_vocabulary(train, k=k, depth=depth, levelsup=max(1, depth - 2))
+            vocab = build_vocabulary(train, k=k, depth=depth, levelsup_depth=max(1, depth - 2))
         self.vocab = vocab
 
         # Fused extraction + frame build (undistort + BoW + bipolar) as a
@@ -411,9 +411,13 @@ class System:
             th_ref = self.cfg.kf_ref_ratio
             if th_ref is None:
                 th_ref = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
-            c2_armed = (
+            # Pure-cadence mode (th_ref > 1) never uses the weakness
+            # trigger; clamping it to 1.0 there reduced c2_armed to
+            # "inliers < ref_tracked", true on most frames — pinning the
+            # pipeline to a synchronous drain and negating pipeline_lag.
+            c2_armed = th_ref <= 1.0 and (
                 self.n_inliers_local
-                < getattr(self, "ref_tracked", 0) * min(th_ref, 1.0)
+                < getattr(self, "ref_tracked", 0) * th_ref
             )
             return (
                 self._sync_window > 0

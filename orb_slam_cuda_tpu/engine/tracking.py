@@ -171,9 +171,7 @@ def track_reference_kf(
     n = frame.capacity
     ok = m.idx >= 0
     mp_new = jnp.full((n,), -1, jnp.int32)
-    mp_new = mp_new.at[jnp.clip(m.idx, 0)].set(
-        jnp.where(ok, kf_mp, mp_new[jnp.clip(m.idx, 0)])
-    )
+    mp_new = mp_new.at[jnp.where(ok, m.idx, n)].set(kf_mp, mode='drop')
     n_matches = jnp.sum(ok)
     pose, mp_out, n_inl = _optimize_and_prune(
         state, frame, pose_init, mp_new, cam, scale_factors
@@ -284,7 +282,7 @@ def assemble_local_map(
     ref_kf = jnp.argmax(counts).astype(jnp.int32)
     # Keep the strongest max_local_kfs sharers.
     top = map_ops.top_covisible(counts, max_local_kfs)
-    kf_mask = jnp.zeros_like(sharing).at[jnp.clip(top, 0)].set(top >= 0)
+    kf_mask = jnp.zeros_like(sharing).at[jnp.clip(top, 0)].max(top >= 0)
     kf_mask = kf_mask & sharing
     # Add each local KF's top-10 covisibility neighbors (reference adds
     # neighbors, parents, children; covisibility is the dominant term).
@@ -293,9 +291,7 @@ def assemble_local_map(
     covis = state.covis
     neigh_w = jnp.max(jnp.where(kf_mask[:, None], covis, 0), axis=0)  # (K,)
     top_n = map_ops.top_covisible(neigh_w, 10)
-    kf_mask = kf_mask.at[jnp.clip(top_n, 0)].set(
-        kf_mask[jnp.clip(top_n, 0)] | (top_n >= 0)
-    )
+    kf_mask = kf_mask.at[jnp.clip(top_n, 0)].max(top_n >= 0)
     kf_mask = kf_mask & state.kf_valid
     pt_mask = map_ops.points_of_keyframes(state, kf_mask)
     return kf_mask, pt_mask, ref_kf
@@ -323,7 +319,7 @@ def track_local_map(
     from ..geometry import camera as cam_mod
 
     P = state.mp_xyz.shape[0]
-    already = jnp.zeros((P,), bool).at[jnp.clip(frame.mp, 0)].set(frame.mp >= 0)
+    already = jnp.zeros((P,), bool).at[jnp.clip(frame.mp, 0)].max(frame.mp >= 0)
     cand = local_pt_mask & state.mp_valid & ~already
 
     Xc = se3.transform(pose, state.mp_xyz)
@@ -365,10 +361,10 @@ def track_local_map(
         max_dist=100.0, ratio=0.8,
         t_has_point=frame.mp >= 0,
     )
-    ok = m.idx >= 0
+    N_t = frame.mp.shape[0]
     pt_ids = jnp.arange(P, dtype=jnp.int32)
-    mp_new = frame.mp.at[jnp.clip(m.idx, 0)].set(
-        jnp.where(ok, pt_ids, frame.mp[jnp.clip(m.idx, 0)])
+    mp_new = frame.mp.at[jnp.where(m.idx >= 0, m.idx, N_t)].set(
+        pt_ids, mode='drop'
     )
     pose2, mp_out, n_inl = _optimize_and_prune(
         state, frame, pose, mp_new, cam, scale_factors

@@ -66,7 +66,7 @@ def _gather_cluster_problems(
         ref = jnp.clip(state.mp_ref_kf, 0)
         owned = state.mp_valid & (state.mp_ref_kf >= 0) & mine[ref]
         pt_slots = jnp.nonzero(owned, size=pts_per, fill_value=-1)[0].astype(jnp.int32)
-        pt_sel = jnp.zeros((P_,), bool).at[jnp.clip(pt_slots, 0)].set(pt_slots >= 0)
+        pt_sel = jnp.zeros((P_,), bool).at[jnp.clip(pt_slots, 0)].max(pt_slots >= 0)
 
         # Frontier: foreign keyframes observing owned points.
         sees = (state.kf_mp >= 0) & pt_sel[jnp.clip(state.kf_mp, 0)]
@@ -91,9 +91,9 @@ def _gather_cluster_problems(
         )
         cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | ~any_fixed)
 
-        inv = jnp.full((P_,), -1, jnp.int32).at[jnp.clip(pt_slots, 0)].set(
-            jnp.where(pt_slots >= 0, jnp.arange(pts_per, dtype=jnp.int32), -1)
-        )
+        inv = jnp.full((P_,), -1, jnp.int32).at[
+            jnp.where(pt_slots >= 0, pt_slots, P_)
+        ].set(jnp.arange(pts_per, dtype=jnp.int32), mode='drop')
         rows_mp = state.kf_mp[safe_cam]  # (cams_per, N)
         rows_valid = (
             (rows_mp >= 0) & cam_ok[:, None] & state.kf_feat_valid[safe_cam]

@@ -130,7 +130,10 @@ def refresh_covis_rows(state: MapState, kf_ids) -> MapState:
     def one_row(k):
         safe = jnp.clip(k, 0)
         row_mp = state.kf_mp[safe]
-        sel = jnp.zeros((P,), bool).at[jnp.clip(row_mp, 0)].set(
+        # Order-independent membership scatter: .max never lets a pad
+        # (-1 clipped to 0, value False) clobber a genuine observation
+        # of point 0 the way duplicate-index .set could.
+        sel = jnp.zeros((P,), bool).at[jnp.clip(row_mp, 0)].max(
             (row_mp >= 0) & state.kf_feat_valid[safe]
         )
         hit = ov & sel[seg]
@@ -139,12 +142,14 @@ def refresh_covis_rows(state: MapState, kf_ids) -> MapState:
         return w.at[safe].set(0)  # diagonal zero
 
     rows = jax.vmap(one_row)(kf_ids)  # (M,K)
-    ok = kf_ids >= 0
-    safe_ids = jnp.clip(kf_ids, 0)
+    # Pad entries (-1) must not touch the matrix at all: route them to an
+    # out-of-bounds sentinel row K and let mode='drop' discard them.
+    # (Negative indices WRAP in JAX scatters even under mode='drop', so a
+    # raw -1 would silently hit the last slot.)
+    idx = jnp.where(kf_ids >= 0, kf_ids, K)
     covis = state.covis
-    new_rows = jnp.where(ok[:, None], rows, covis[safe_ids])
-    covis = covis.at[safe_ids, :].set(new_rows)
-    covis = covis.at[:, safe_ids].set(new_rows.T)
+    covis = covis.at[idx, :].set(rows, mode='drop')
+    covis = covis.at[:, idx].set(rows.T, mode='drop')
     return state._replace(covis=covis)
 
 
@@ -155,7 +160,7 @@ def covisibility_counts_for_bindings(state: MapState, point_ids):
     `Tracking::UpdateLocalKeyFrames` (reference src/Tracking.cc:1291-1355)
     without materializing the full matrix."""
     P = state.mp_xyz.shape[0]
-    sel = jnp.zeros((P,), bool).at[jnp.clip(point_ids, 0)].set(point_ids >= 0)
+    sel = jnp.zeros((P,), bool).at[jnp.clip(point_ids, 0)].max(point_ids >= 0)
     ov = _obs_valid(state)
     hit = ov & sel[jnp.clip(state.kf_mp, 0)]
     return jnp.sum(hit, axis=1).astype(jnp.int32)
@@ -300,10 +305,10 @@ def keyframe_redundancy(state: MapState, kf_slot, th_scale_slack: int = 1):
     row_valid = row_mp >= 0
     row_oct = state.kf_oct[kf_slot]
     # For each point of this KF: its required scale ceiling.
-    oct_ceiling = jnp.zeros((P,), jnp.int32).at[jnp.clip(row_mp, 0)].set(
+    oct_ceiling = jnp.zeros((P,), jnp.int32).at[jnp.clip(row_mp, 0)].max(
         jnp.where(row_valid, row_oct + th_scale_slack, 0)
     )
-    in_row = jnp.zeros((P,), bool).at[jnp.clip(row_mp, 0)].set(row_valid)
+    in_row = jnp.zeros((P,), bool).at[jnp.clip(row_mp, 0)].max(row_valid)
     ov = _obs_valid(state)
     seg = jnp.clip(state.kf_mp, 0)
     counted = (

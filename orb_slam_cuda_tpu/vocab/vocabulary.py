@@ -60,9 +60,13 @@ class Vocabulary:
       each level-(l+1) node if it is a leaf, else -1 (leaves may occur
       above the bottom level; see module docstring).
     word_weight: (n_words,) float32 idf weights.
-    levelsup_depth: depth whose node id is reported for SearchByBoW gating
-      (DBoW2 levelsup=4 from root, reference ORBVocabulary typedef
-      include/ORBVocabulary.h:29-30).
+    levelsup_depth: FROM-ROOT depth whose node id is reported for
+      SearchByBoW gating. NOTE the convention: DBoW2's `levelsup`
+      parameter counts levels up FROM THE LEAVES
+      (TemplatedVocabulary.h:1226 `nid_level = m_L - levelsup`);
+      load_orbvoc_text converts at that boundary, everything inside this
+      class is from-root. Reference ORBVocabulary typedef
+      include/ORBVocabulary.h:29-30 uses levelsup=4 from leaves.
     """
 
     def __init__(self, children_desc, children_valid, child_base,
@@ -184,13 +188,18 @@ def _kmeans_binary(bits, k, rng, iters=8):
     return centers, assign
 
 
-def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
+def build_vocabulary(descriptors, k: int = 8, depth: int = 3,
+                     levelsup_depth: int = 1,
                      seed: int = 0, weights=None) -> Vocabulary:
     """Train a k^depth-word vocabulary from packed (N,8) uint32 descriptors.
 
     Small-scale counterpart of DBoW2's offline training (create(),
     TemplatedVocabulary.h), sufficient for synthetic-scene loop closure;
     load_orbvoc_text() is the path for the stock 10^6-word vocabulary.
+
+    `levelsup_depth` is FROM-ROOT depth (the Vocabulary convention);
+    DBoW2's from-the-leaves `levelsup` is converted only at the
+    load_orbvoc_text boundary.
     """
     rng = np.random.default_rng(seed)
     bits = np.asarray(hamming.unpack_bits(jnp.asarray(descriptors)))
@@ -246,7 +255,7 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3, levelsup: int = 1,
         word_weight=jnp.asarray(w, jnp.float32),
         k=k,
         depth=depth,
-        levelsup_depth=levelsup,
+        levelsup_depth=levelsup_depth,
     )
 
 

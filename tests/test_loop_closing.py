@@ -63,7 +63,7 @@ def build_drifted_ring(rng, n_kf=16, drift=0.02):
         T_est.append(noise @ rel @ T_est[-1])
 
     vocab = build_vocabulary(
-        rng.integers(0, 2**32, (1024, 8), dtype=np.uint32), k=8, depth=2, levelsup=1
+        rng.integers(0, 2**32, (1024, 8), dtype=np.uint32), k=8, depth=2, levelsup_depth=1
     )
     word, node, idf = vocab.transform(hamming.bipolar(jnp.asarray(desc)))
     word_n, node_n, idf_n = np.asarray(word), np.asarray(node), np.asarray(idf)

@@ -46,7 +46,7 @@ class TestHamming:
 class TestVocabulary:
     def test_transform_assigns_nearest_leaf(self, rng):
         train = rand_desc(rng, 400)
-        voc = build_vocabulary(train, k=4, depth=2, levelsup=1)
+        voc = build_vocabulary(train, k=4, depth=2, levelsup_depth=1)
         test = rand_desc(rng, 32)
         bip = hamming.bipolar(jnp.asarray(test))
         word, node, weight = voc.transform(bip)

@@ -67,6 +67,33 @@ class TestObservations:
         assert W[0, 2] == 0  # no overlap (0..7 vs 8..15)
         assert (W == W.T).all()
 
+    def test_refresh_covis_rows_matches_full_recompute(self, rng):
+        """Regression (round-5 advisor findings): -1 pads in kf_ids must
+        not touch slot 0 (or any slot), and unbound features (kf_mp=-1,
+        clipped to 0) must not erase genuine observations of POINT 0."""
+        st = small_map(rng)
+        # Make point 0 shared: bind it into KF 1 too (KF1 slot 30 free).
+        kf_mp = np.asarray(st.kf_mp).copy()
+        kf_mp[1, 30] = 0
+        st = st._replace(kf_mp=jnp.asarray(kf_mp))
+        W_true = np.asarray(ops.covisibility_matrix(st))
+        assert W_true[0, 1] == 5  # points 4..7 plus point 0
+
+        # Refresh every row through a -1-PADDED id list (the
+        # local_mapping call shape) starting from a corrupted matrix.
+        bogus = jnp.full_like(st.covis, 77)
+        st_b = st._replace(covis=bogus)
+        ids = jnp.asarray(np.array([0, 1, 2, 3, -1, -1, -1], np.int32))
+        st_r = ops.refresh_covis_rows(st_b, ids)
+        W = np.asarray(st_r.covis)
+        K = len(W)
+        valid = np.asarray(st.kf_valid)
+        # Rows/cols of refreshed VALID kfs must equal the full recompute.
+        np.testing.assert_array_equal(W[:4][:, :4], W_true[:4][:, :4])
+        assert W[0, 1] == 5 and W[1, 0] == 5
+        # Pads must not have resurrected slot-0 staleness anywhere.
+        assert (W[:4] != 77).all() and (W[:, :4] != 77).all()
+
     def test_covis_counts_for_bindings(self, rng):
         st = small_map(rng)
         pts = jnp.asarray(np.array([4, 5, 6, 7, -1], np.int32))
