@@ -246,8 +246,31 @@ def sim3_search_and_refine(
 
 
 @jax.jit
+def loop_group_point_count(state: MapState, cand):
+    """(count, loop_kfs mask) for the loop keyframe's covisibility-group
+    point set — lets the host size the projection-gate bucket to the
+    TRUE occupancy instead of silently truncating at a fixed cap
+    (the reference iterates ALL loop-group points,
+    src/LoopClosing.cc:462-476)."""
+    covis = map_ops.covisibility_matrix(state)  # fresh: see _bow_scores
+    loop_kfs = ((covis[cand] >= 15) | (jnp.arange(covis.shape[0]) == cand)) & state.kf_valid
+    pts_mask = map_ops.points_of_keyframes(state, loop_kfs) & state.mp_valid
+    return jnp.sum(pts_mask).astype(jnp.int32), loop_kfs
+
+
+def pow2_bucket(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two >= n, clamped to [lo, hi] — bounds the
+    jit-recompile variants to log2(hi/lo) sizes."""
+    b = lo
+    while b < min(n, hi):
+        b *= 2
+    return min(b, hi)
+
+
+@functools.partial(jax.jit, static_argnames=('n_pts_bucket',))
 def loop_points_projection_gate(
     state: MapState, kf_cur, cand, R, t, s, feat_matched, cam, scale_factors,
+    loop_kfs, n_pts_bucket: int = 4096,
 ):
     """The final acceptance gate (reference src/LoopClosing.cc:391-440):
     collect the map points of the loop keyframe's covisibility group,
@@ -255,13 +278,14 @@ def loop_points_projection_gate(
     (SearchByProjection Scw variant, src/ORBmatcher.cc:290-404, th=10,
     TH_LOW, view-cos 0.5) and count total matched features.
 
+    `n_pts_bucket` is host-sized to the true group occupancy via
+    loop_group_point_count + pow2_bucket (no silent subset).
+
     Returns (n_total, point_match (N,) point id per current-KF feature).
     """
-    covis = map_ops.covisibility_matrix(state)  # fresh: see _bow_scores
-    loop_kfs = ((covis[cand] >= 15) | (jnp.arange(covis.shape[0]) == cand)) & state.kf_valid
     pts_mask = map_ops.points_of_keyframes(state, loop_kfs)
     P = state.mp_xyz.shape[0]
-    M = min(4096, P)
+    M = min(n_pts_bucket, P)
     pts = jnp.nonzero(pts_mask & state.mp_valid, size=M, fill_value=-1)[0].astype(jnp.int32)
     pv = pts >= 0
     pc = jnp.clip(pts, 0)
@@ -550,10 +574,14 @@ class LoopCloser:
 
             # --- Projection acceptance gate (reference :391-440): project
             # the loop group's map points through the refined Scw; demand
-            # >=40 total matches. One dispatch + one pull.
+            # >=40 total matches. Two dispatches + two pulls (the count
+            # pull sizes the bucket so the gate sees EVERY group point).
+            n_grp, loop_kfs = loop_group_point_count(state, np.int32(cand))
+            bucket = pow2_bucket(int(n_grp), 4096, self.cfg.max_points)
             n_total, point_match = loop_points_projection_gate(
                 state, np.int32(kf_slot), np.int32(cand),
                 R_r, t_r, s_r, feat12, self.cam, self.scale_factors,
+                loop_kfs, n_pts_bucket=bucket,
             )
             if int(n_total) < MIN_TOTAL_MATCHES:
                 continue
@@ -627,8 +655,10 @@ class LoopCloser:
             state,
             jnp.zeros((K,), bool).at[jnp.asarray(sorted(loop_group))].set(True),
         )
+        n_loop_pts = int(jnp.sum(loop_pts_mask))
+        fuse_bucket = pow2_bucket(n_loop_pts, 4096, self.cfg.max_points)
         loop_pts = jnp.nonzero(
-            loop_pts_mask, size=min(4096, self.cfg.max_points), fill_value=-1
+            loop_pts_mask, size=fuse_bucket, fill_value=-1
         )[0].astype(jnp.int32)
         sf = jnp.asarray(self.cfg.scale_factors, jnp.float32)
         for g in group:

@@ -365,3 +365,111 @@ class TestRelocalizationGate:
             st, db, frame_weak, CAM, vocab.n_words, sf
         )
         assert not ok_weak
+
+
+class TestProjectionGateNoCap:
+    """Round-5 regression: the loop-group projection gate must see EVERY
+    group point (reference iterates all of them, src/LoopClosing.cc:462-476)
+    — the old fixed 4096 cap silently dropped high-slot points on grown
+    maps."""
+
+    def test_group_points_beyond_4096_are_seen(self, rng):
+        from orb_slam_cuda_tpu.engine import loop_closing as lc_mod
+        from orb_slam_cuda_tpu.slam_map import ops as map_ops
+
+        cfg = MapConfig(max_keyframes=32, max_features=512,
+                        max_points=8192, n_levels=4)
+        N = cfg.max_features
+        K_np = np.asarray(CAM.K)
+        st = mstate.empty(cfg)
+
+        def rand_points(n, seed):
+            r = np.random.default_rng(seed)
+            u = r.uniform(30, 370, n)
+            v = r.uniform(30, 270, n)
+            z = r.uniform(4.0, 8.0, n)
+            x = (u - K_np[0, 2]) * z / K_np[0, 0]
+            y = (v - K_np[1, 2]) * z / K_np[1, 1]
+            return np.stack([x, y, z], -1).astype(np.float32)
+
+        n_shared = 15           # covis weight per neighbor (>=15 gate)
+        n_unique = 165
+        n_neighbors = 25
+        cand = 0
+        total_pts = N + n_neighbors * n_unique  # 512 + 4125 = 4637 > 4096
+        xyz = rand_points(total_pts, 7)
+        desc = rng.integers(0, 2**32, (total_pts, 8), dtype=np.uint32)
+
+        def insert(slot, mp_row_ids):
+            mp_row = np.full(N, -1, np.int32)
+            uv_row = np.zeros((N, 2), np.float32)
+            valid = np.zeros(N, bool)
+            d_row = np.zeros((N, 8), np.uint32)
+            for i, p in enumerate(mp_row_ids):
+                mp_row[i] = p
+                pr = K_np @ (xyz[p] / xyz[p][2])
+                uv_row[i] = pr[:2]
+                valid[i] = True
+                d_row[i] = desc[p]
+            return mstate.insert_keyframe(
+                st2, slot, jnp.eye(4), slot,
+                jnp.asarray(uv_row), jnp.full((N,), -1.0),
+                jnp.full((N,), -1.0), jnp.zeros((N,), jnp.int32),
+                jnp.zeros((N,), jnp.float32), jnp.asarray(d_row),
+                jnp.asarray(valid), jnp.full((N,), -1, jnp.int32),
+                jnp.full((N,), -1, jnp.int32), jnp.asarray(mp_row),
+            )
+
+        st2 = st
+        st2 = insert(cand, list(range(N)))  # cand observes pts 0..511
+        for j in range(n_neighbors):
+            shared = list(range(j * n_shared, (j + 1) * n_shared))
+            unique = list(range(N + j * n_unique, N + (j + 1) * n_unique))
+            st2 = insert(1 + j, shared + unique)
+
+        slots = np.arange(total_pts, dtype=np.int32)
+        st2 = mstate.add_points(
+            st2, jnp.asarray(slots), jnp.asarray(xyz),
+            jnp.ones((total_pts,), bool), jnp.asarray(desc),
+            jnp.zeros((total_pts, 3), jnp.float32),
+            jnp.zeros((total_pts,), jnp.float32),
+            jnp.full((total_pts,), 100.0, jnp.float32),
+            jnp.zeros((total_pts,), jnp.int32),
+            jnp.zeros((total_pts,), jnp.int32),
+        )
+        st2 = map_ops.update_point_stats(st2, cfg)
+        st2 = st2._replace(covis=map_ops.covisibility_matrix(st2))
+
+        n_grp, loop_kfs = lc_mod.loop_group_point_count(st2, np.int32(cand))
+        assert int(n_grp) == total_pts
+        bucket = lc_mod.pow2_bucket(int(n_grp), 4096, cfg.max_points)
+        assert bucket == 8192
+
+        # Current KF: 50 features matching the HIGHEST-slot points only.
+        hi = list(range(total_pts - 50, total_pts))
+        kf_cur = 31
+        mp_save = st2
+        st2 = insert(kf_cur, hi)
+        # kf_cur must have NO map bindings (it is the querying side).
+        kf_mp = np.asarray(st2.kf_mp).copy()
+        kf_mp[kf_cur, :] = -1
+        st2 = st2._replace(kf_mp=jnp.asarray(kf_mp))
+
+        sf = jnp.asarray(cfg.scale_factors, jnp.float32)
+        feat_matched = jnp.full((N,), -1, jnp.int32)
+        R = jnp.eye(3); t = jnp.zeros(3); s = jnp.float32(1.0)
+
+        n_total, point_match = lc_mod.loop_points_projection_gate(
+            st2, np.int32(kf_cur), np.int32(cand), R, t, s,
+            feat_matched, CAM, sf, loop_kfs, n_pts_bucket=bucket,
+        )
+        pm = np.asarray(point_match)
+        assert int(n_total) >= 40
+        assert (pm >= 4096).any(), "high-slot group points were truncated"
+
+        # Contrast: the old fixed cap misses every high-slot point.
+        n_capped, _ = lc_mod.loop_points_projection_gate(
+            st2, np.int32(kf_cur), np.int32(cand), R, t, s,
+            feat_matched, CAM, sf, loop_kfs, n_pts_bucket=4096,
+        )
+        assert int(n_capped) < int(n_total)
