@@ -63,15 +63,24 @@ def main():
 
     import os
 
-    # BENCH_VOCAB=/path/ORBvoc.txt runs the whole pipeline against a
-    # stock-format vocabulary (e.g. the 982k-word file from
-    # tools/bench_vocab_scale.py) instead of the synthetic 512-word one
-    # — BoW transform + database scoring at realistic vocabulary scale.
+    # The benchmark condition is the STOCK-SCALE vocabulary (982k words,
+    # k=10 L=6, DBoW2 text format) — the deployment operating point, not
+    # the 512-word synthetic one (round-4 verdict weak #1). BENCH_VOCAB
+    # overrides the path; BENCH_VOCAB=none opts back into the synthetic
+    # vocabulary for A/B runs. The file is generated on first use
+    # (~17 s, cached in /tmp).
     vocab = None
-    vocab_path = os.environ.get("BENCH_VOCAB")
-    if vocab_path:
+    vocab_path = os.environ.get("BENCH_VOCAB", "/tmp/orbvoc_k10_L6.txt")
+    if vocab_path.lower() != "none":
         from orb_slam_cuda_tpu.vocab import load_orbvoc_text
 
+        if not os.path.exists(vocab_path):
+            log(f"generating stock-scale vocabulary at {vocab_path}...")
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench_vocab_scale
+
+            bench_vocab_scale.generate(vocab_path)
         t0 = time.time()
         vocab = load_orbvoc_text(vocab_path)
         log(f"vocabulary loaded in {time.time()-t0:.1f}s "

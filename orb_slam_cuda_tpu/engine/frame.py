@@ -59,7 +59,7 @@ def build_frame(
     uv_und = cam_mod.undistort_points(cam, feats.uv)
     bip = hamming.bipolar(feats.desc)
     if vocab is not None:
-        word, node, idf = vocab.transform(bip)
+        word, node, idf = vocab.transform(feats.desc)  # packed descent
         word = jnp.where(feats.valid, word, -1)
         node = jnp.where(feats.valid, node, -1)
     else:

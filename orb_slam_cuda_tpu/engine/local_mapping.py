@@ -771,7 +771,7 @@ class LocalMapper:
 
     def finish_keyframe(self, state: MapState, db, pending: "PendingMapping",
                         recent_pts: list, kf_order: list,
-                        protected: set = frozenset()):
+                        protected: set = frozenset(), cull_log: list = None):
         """Consume the dispatched keyframe's ONE host pull and run the
         bookkeeping tail: probation updates, freeing unused point slots,
         and KeyFrameCulling decisions."""
@@ -811,6 +811,7 @@ class LocalMapper:
         # SetBadFlag refuses while loop edges exist, src/KeyFrame.cc:
         # 434-460) — culling one would orphan a persisted loop constraint.
         origin = kf_order[0] if kf_order else -1
+        culled_now = []
         if reds_host is not None:
             for row, nb in enumerate(nb_host):
                 nb = int(nb)
@@ -821,12 +822,28 @@ class LocalMapper:
                     db = keyframe_db.erase(db, nb)
                     if nb in kf_order:
                         kf_order.remove(nb)
+                    culled_now.append(nb)
+
+        # Trajectory repair chain: record each culled keyframe's relative
+        # pose to the (live) keyframe being processed, so frames exported
+        # relative to a culled reference recompose through a survivor —
+        # the reference's parent-chain walk in SaveTrajectoryTUM
+        # (src/System.cc:372-380 `while(pKF->isBad()) Trw = Trw*mTcp`).
+        if culled_now and cull_log is not None:
+            parent = int(pending.kf_slot)
+            poses = np.asarray(
+                jax.device_get(state.kf_pose[np.asarray(culled_now + [parent])]),
+                np.float64,
+            )
+            T_parent_inv = np.linalg.inv(poses[-1])
+            for i, nb in enumerate(culled_now):
+                cull_log.append((nb, parent, poses[i] @ T_parent_inv))
 
         return state, db
 
     def process_keyframe(self, state: MapState, db, kf_slot: int,
                          recent_pts: list, kf_order: list,
-                         protected: set = frozenset()):
+                         protected: set = frozenset(), cull_log: list = None):
         """Synchronous triangulate-fuse-optimize-cull for one keyframe:
         dispatch + BA round 2 + finish back-to-back (the engine's async
         path interleaves these with tracking frames instead — see
@@ -842,7 +859,7 @@ class LocalMapper:
         )
         state = self.run_ba_round2(state, pending)
         return self.finish_keyframe(
-            state, db, pending, recent_pts, kf_order, protected
+            state, db, pending, recent_pts, kf_order, protected, cull_log
         )
 
 

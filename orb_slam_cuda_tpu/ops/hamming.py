@@ -34,6 +34,14 @@ def unpack_bits(desc):
     return bits.reshape(desc.shape[:-1] + (N_BITS,)).astype(jnp.uint8)
 
 
+def pack_bits(bits):
+    """(…,256) {0,1}/bool -> (…,8) packed uint32 — inverse of
+    unpack_bits (same word order: word w bit j = descriptor bit 32w+j)."""
+    b = bits.reshape(bits.shape[:-1] + (N_WORDS, 32)).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
 def bipolar(desc, dtype=jnp.bfloat16):
     """(…,8) uint32 -> (…,256) bipolar {-1,+1} in `dtype` (bf16 default)."""
     bits = unpack_bits(desc).astype(dtype)

@@ -51,8 +51,16 @@ class Vocabulary:
     constants — which overflows compile-payload limits (observed: remote
     TPU compile rejects the request) and bloats every executable.
 
-    children_desc: (n_levels,) tuple of (n_nodes_l, k, 256) bf16 bipolar
-      centroid descriptors per level (padded with +1s).
+    children_packed: (n_levels,) tuple of (n_nodes_l, k, 8) uint32
+      BIT-PACKED centroid descriptors per level (hamming module word
+      order: word w bit j = descriptor bit 32w+j; pads are zeros and
+      masked by children_valid). Packed instead of bf16 bipolar because
+      the per-level descent gathers (N,k) child blocks from HBM — 32
+      bytes/child instead of 512 cut the stock 982k-word vocabulary from
+      ~0.5 GB to 36 MB and the on-chip transform from 2.96 ms to the
+      sub-millisecond class (PERF.md round 5); distances come from
+      XOR+population_count on the VPU, which at (N,k)=2000x10 beats
+      feeding gathered operands to the MXU.
     children_valid: tuple of (n_nodes_l, k) bool.
     child_base: tuple of (n_nodes_l,) int32 — index of each node's first
       child in the next level's node array (children are contiguous).
@@ -69,9 +77,9 @@ class Vocabulary:
       include/ORBVocabulary.h:29-30 uses levelsup=4 from leaves.
     """
 
-    def __init__(self, children_desc, children_valid, child_base,
+    def __init__(self, children_packed, children_valid, child_base,
                  node_word, word_weight, k, depth, levelsup_depth):
-        self.children_desc = tuple(children_desc)
+        self.children_packed = tuple(children_packed)
         self.children_valid = tuple(children_valid)
         self.child_base = tuple(child_base)
         self.node_word = tuple(node_word)
@@ -81,14 +89,14 @@ class Vocabulary:
         self.levelsup_depth = int(levelsup_depth)
 
     def tree_flatten(self):
-        children = (self.children_desc, self.children_valid,
+        children = (self.children_packed, self.children_valid,
                     self.child_base, self.node_word, self.word_weight)
         return children, (self.k, self.depth, self.levelsup_depth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        (obj.children_desc, obj.children_valid, obj.child_base,
+        (obj.children_packed, obj.children_valid, obj.child_base,
          obj.node_word, obj.word_weight) = children
         obj.k, obj.depth, obj.levelsup_depth = aux
         return obj
@@ -97,11 +105,13 @@ class Vocabulary:
     def n_words(self):
         return int(self.word_weight.shape[0])
 
-    def transform(self, desc_bipolar):
+    def transform(self, desc):
         """Batch tree descent.
 
         Args:
-          desc_bipolar: (N,256) bipolar (bf16) descriptors.
+          desc: (N,8) packed uint32 descriptors, or (N,256) bipolar
+            (legacy callers) — repacked internally; the descent runs on
+            packed words (see children_packed docstring).
 
         Returns:
           word_id: (N,) int32 leaf word ids (0 with weight 0 for the
@@ -109,7 +119,11 @@ class Vocabulary:
           node_id: (N,) int32 node ids at `levelsup_depth`.
           weight: (N,) float32 idf weight of each word.
         """
-        n = desc_bipolar.shape[0]
+        if desc.shape[-1] == hamming.N_BITS:
+            q = hamming.pack_bits(desc > 0)
+        else:
+            q = desc.astype(jnp.uint32)
+        n = q.shape[0]
         node = jnp.zeros((n,), jnp.int32)  # all start at root (level 0 node 0)
         node_at_levelsup = jnp.zeros((n,), jnp.int32)
         word = jnp.full((n,), -1, jnp.int32)
@@ -120,20 +134,17 @@ class Vocabulary:
         glob = jnp.zeros((n,), jnp.int32)
         glob_off = 1
         for level in range(self.depth):
-            cdesc = self.children_desc[level]  # (M,k,256)
+            cpack = self.children_packed[level]  # (M,k,8) uint32
             cvalid = self.children_valid[level]  # (M,k)
             base = self.child_base[level]  # (M,)
             nword = self.node_word[level]  # (M_next,)
-            my_cdesc = cdesc[node]  # (N,k,256)
+            my_cpack = cpack[node]  # (N,k,8) — 32 B/child HBM gather
             my_valid = cvalid[node]
-            # (N,k) dot products -> Hamming; batched small matmul.
-            dot = jnp.einsum(
-                "nkb,nb->nk",
-                my_cdesc.astype(jnp.float32),
-                desc_bipolar.astype(jnp.float32),
-            )
-            dist = (hamming.N_BITS - dot) * 0.5
-            dist = jnp.where(my_valid, dist, jnp.inf)
+            x = jnp.bitwise_xor(my_cpack, q[:, None, :])
+            dist = jnp.sum(
+                jax.lax.population_count(x).astype(jnp.int32), axis=-1
+            )  # (N,k)
+            dist = jnp.where(my_valid, dist, jnp.int32(1 << 30))
             best = jnp.argmin(dist, axis=-1).astype(jnp.int32)
             step = active & my_valid.any(-1)
             nxt = base[node] + best
@@ -188,6 +199,12 @@ def _kmeans_binary(bits, k, rng, iters=8):
     return centers, assign
 
 
+def _np_pack_bits(bits01):
+    """(N,256) {0,1} uint8 -> (N,8) uint32, hamming word order."""
+    by = np.packbits(bits01.astype(np.uint8), axis=-1, bitorder="little")
+    return np.ascontiguousarray(by).view("<u4").reshape(bits01.shape[0], 8)
+
+
 def build_vocabulary(descriptors, k: int = 8, depth: int = 3,
                      levelsup_depth: int = 1,
                      seed: int = 0, weights=None) -> Vocabulary:
@@ -217,8 +234,9 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3,
             else:
                 centers, assign = _kmeans_binary(cluster, k, rng)
             kk = len(centers)
-            pad_desc = np.ones((k, hamming.N_BITS), np.int8)
-            pad_desc[:kk] = centers.astype(np.int8) * 2 - 1
+            pad_desc = np.zeros((k, 8), np.uint32)
+            if kk:
+                pad_desc[:kk] = _np_pack_bits(centers.astype(np.uint8))
             valid = np.zeros(k, bool)
             valid[:kk] = True
             cdescs.append(pad_desc)
@@ -227,7 +245,7 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3,
             child_counter += kk
             for c in range(kk):
                 next_clusters.append(cluster[assign == c] if len(cluster) else cluster)
-        levels_desc.append(jnp.asarray(np.asarray(cdescs), jnp.bfloat16))
+        levels_desc.append(jnp.asarray(np.asarray(cdescs), jnp.uint32))
         levels_valid.append(jnp.asarray(np.asarray(cvalids)))
         levels_base.append(jnp.asarray(np.asarray(bases), jnp.int32))
         # Trainer trees carry words only at the bottom level (every
@@ -248,7 +266,7 @@ def build_vocabulary(descriptors, k: int = 8, depth: int = 3,
         w = np.asarray(weights, np.float64)
     assert len(w) == n_words
     return Vocabulary(
-        children_desc=tuple(levels_desc),
+        children_packed=tuple(levels_desc),
         children_valid=tuple(levels_valid),
         child_base=tuple(levels_base),
         node_word=tuple(levels_word),
@@ -330,8 +348,9 @@ def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth,
     leaf_rows = np.flatnonzero(is_leaf)
     word_of[leaf_rows] = np.arange(len(leaf_rows))
 
-    bits = np.unpackbits(desc_bytes, axis=1, bitorder="little")
-    bip = bits.astype(np.int8) * 2 - 1
+    # Bytes -> packed uint32 words in the hamming module's order (bit b =
+    # byte b//8 bit b%8 little-endian = word b//32 shift b%32).
+    packed = np.ascontiguousarray(desc_bytes).view("<u4").reshape(-1, 8)
 
     # Per-level contiguous renumbering, grouped by parent so each
     # parent's children are contiguous (base + position addressing).
@@ -352,11 +371,11 @@ def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth,
         slot = np.arange(total) - np.repeat(starts, counts)
         if (slot >= k).any():
             raise ValueError("node with more than k children")
-        cdesc = np.ones((m, k, hamming.N_BITS), np.int8)
+        cdesc = np.zeros((m, k, 8), np.uint32)
         cvalid = np.zeros((m, k), bool)
-        cdesc[pl_s, slot] = bip[ch]
+        cdesc[pl_s, slot] = packed[ch]
         cvalid[pl_s, slot] = True
-        levels_desc.append(jnp.asarray(cdesc, jnp.bfloat16))
+        levels_desc.append(jnp.asarray(cdesc, jnp.uint32))
         levels_valid.append(jnp.asarray(cvalid))
         levels_base.append(jnp.asarray(starts, jnp.int32))
         levels_word.append(jnp.asarray(word_of[ch], jnp.int32))
@@ -365,7 +384,7 @@ def _assemble_from_flat(parents, is_leaf, desc_bytes, weights, k, depth,
         local_id[ch + 1] = np.arange(total)
     leaf_weights = weights[leaf_rows]
     return Vocabulary(
-        children_desc=tuple(levels_desc),
+        children_packed=tuple(levels_desc),
         children_valid=tuple(levels_valid),
         child_base=tuple(levels_base),
         node_word=tuple(levels_word),
