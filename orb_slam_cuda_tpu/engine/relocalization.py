@@ -99,23 +99,27 @@ def _staged_refine(
         pose2, mp2, n2 = optimize(pose1, mp_w)
 
         def narrow_stage(_):
-            mp_n = widen_search(pose2, mp2, NARROW_TH, NARROW_HAM)
-            return optimize(pose2, mp_n)
+            pose3, mp3, n3 = optimize(
+                pose2, widen_search(pose2, mp2, NARROW_TH, NARROW_HAM)
+            )
+            return pose3, mp3, n3, n2
 
         return jax.lax.cond(
             (n2 >= NARROW_RETRY_MIN) & (n2 < MIN_INLIERS_ACCEPT),
             narrow_stage,
-            lambda _: (pose2, mp2, n2),
+            lambda _: (pose2, mp2, n2, n2),
             None,
         )
 
-    pose_f, mp_f, n_f = jax.lax.cond(
+    pose_f, mp_f, n_f, n_wide = jax.lax.cond(
         n1 < MIN_INLIERS_ACCEPT,
         wide_stage,
-        lambda _: (pose1, mp1, n1),
+        lambda _: (pose1, mp1, n1, n1),
         None,
     )
-    return pose_f, mp_f, n_f
+    # n1/n_wide expose stage attribution (which rung of the ladder
+    # reached the nGood>=50 acceptance) at zero extra dispatch cost.
+    return pose_f, mp_f, n_f, n1, n_wide
 
 
 def relocalize(
@@ -126,8 +130,14 @@ def relocalize(
     n_words: int,
     scale_factors,
     max_candidates: int = 5,
+    stats: dict = None,
 ):
-    """Try candidates best-score-first; return (pose, bindings, ok)."""
+    """Try candidates best-score-first; return (pose, bindings, ok).
+
+    `stats`, if given, accumulates stage attribution: which rung of the
+    staged ladder produced the accepted pose ('bow' = stage-3 LM alone,
+    'wide' = the th=10/Ham100 re-search, 'narrow' = the th=3/Ham64
+    retry), plus 'fail' per exhausted query."""
     wu, wt = keyframe_db.compute_bow_row(frame.word, frame.idf, frame.valid)
     q_dense = keyframe_db.dense_bow(wu, wt, n_words)
     covis = state.covis
@@ -182,7 +192,7 @@ def relocalize(
         # Stages 3-5: optimize -> wide th=10 re-search -> re-optimize ->
         # narrow th=3 retry, ONE dispatch (reference
         # src/Tracking.cc:1500-1578).
-        pose2, mp2, n_good = _staged_refine(
+        pose2, mp2, n_good, n_bow, n_wide = _staged_refine(
             state, frame, jnp.int32(kf), res.pose, mp, cam,
             jnp.asarray(scale_factors),
         )
@@ -190,5 +200,14 @@ def relocalize(
         # (src/Tracking.cc:1585); weaker poses fall through to the next
         # candidate rather than being returned as tentative successes.
         if int(n_good) >= MIN_INLIERS_ACCEPT:
+            if stats is not None:
+                stage = (
+                    "bow" if int(n_bow) >= MIN_INLIERS_ACCEPT
+                    else "wide" if int(n_wide) >= MIN_INLIERS_ACCEPT
+                    else "narrow"
+                )
+                stats[stage] = stats.get(stage, 0) + 1
             return pose2, mp2, True
+    if stats is not None:
+        stats["fail"] = stats.get("fail", 0) + 1
     return None, None, False

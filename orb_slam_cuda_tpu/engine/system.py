@@ -912,9 +912,11 @@ class System:
         candidates from the database, BoW matching + P3P/EPnP RANSAC."""
         from . import relocalization
 
+        if not hasattr(self, "reloc_stage_stats"):
+            self.reloc_stage_stats = {}
         pose, mp, ok = relocalization.relocalize(
             self.state, self.db, frame, self.cam, self.vocab.n_words,
-            self.scale_factors,
+            self.scale_factors, stats=self.reloc_stage_stats,
         )
         if not ok:
             return None, False

@@ -197,7 +197,8 @@ def loop_trajectory(n_frames: int, radius: float = 1.5, overshoot: float = 0.15)
     return poses
 
 
-def circuit_trajectory(n_frames: int, radius: float = 5.0, laps: float = 1.15):
+def circuit_trajectory(n_frames: int, radius: float = 5.0, laps: float = 1.15,
+                       start: float = 0.0):
     """KITTI-style circuit: the camera rides a circle of `radius` around
     the room center looking FORWARD along the tangent, for `laps` laps
     (world->cam poses Tcw).
@@ -215,7 +216,7 @@ def circuit_trajectory(n_frames: int, radius: float = 5.0, laps: float = 1.15):
     poses = []
     total = 2 * np.pi * laps
     for i in range(n_frames):
-        th = total * i / max(n_frames - 1, 1)
+        th = 2 * np.pi * start + total * i / max(n_frames - 1, 1)
         c = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)])
         yaw = th + np.pi / 2  # look along the tangent (direction of travel)
         Rwc = np.array(se3.so3_exp(jnp.asarray(np.array([0.0, yaw, 0.0], np.float32))))

@@ -167,3 +167,62 @@ class TestMonocularEndToEnd:
         assert slam.stats.n_lost >= 2
         assert tracked_after >= 7, "failed to relocalize after blackout"
         assert slam.stats.n_reloc >= 1
+
+
+class TestRelocalizationHard:
+    """Round-5 gate (r4 verdict missing #3): blackout + VIEWPOINT CHANGE
+    away from any keyframe pose, >=3 seeds, >=2/3 staged-ladder
+    successes, with stage attribution recorded (reference ladder
+    src/Tracking.cc:1473-1585)."""
+
+    @pytest.mark.slow
+    def test_success_rate_with_viewpoint_change(self):
+        from orb_slam_cuda_tpu.geometry import se3
+        import jax.numpy as jnp
+
+        successes = 0
+        stage_stats = {}
+        for seed in (3, 5, 9):
+            rng = np.random.default_rng(seed)
+            cam = Camera.create(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2,
+                                width=W, height=H)
+            scene = synthetic.PlanarScene.default(
+                rng, depth=5.0, second_depth=8.0, extent=12.0, tex_size=768
+            )
+            poses = synthetic.orbit_trajectory(36, radius=0.6)
+            slam = make_system(cam, max_frames_between_kf=4,
+                               kf_cull_redundancy=1.1, kf_ref_ratio=1.1)
+            K = np.asarray(cam.K)
+            for i, T in enumerate(poses):
+                slam.track_monocular(scene.render(K, T, W, H), i * 0.1)
+            if slam.stats.n_keyframes <= 5:
+                continue  # would trip the small-map full reset instead
+
+            # Blackout, then resume from a DISPLACED viewpoint: camera
+            # offset sideways+forward with an 8 deg yaw, between keyframe
+            # poses rather than at one.
+            blank = np.zeros((H, W), np.uint8)
+            for j in range(3):
+                slam.track_monocular(blank, (36 + j) * 0.1)
+            yaw = np.asarray(se3.so3_exp(jnp.asarray(
+                np.array([0.0, np.deg2rad(8.0), 0.0], np.float32))))
+            delta = np.eye(4)
+            delta[:3, :3] = yaw
+            delta[:3, 3] = [0.20, 0.05, 0.12]
+            tracked_after = 0
+            for j in range(8):
+                T = delta @ poses[18 + j]
+                pose = slam.track_monocular(
+                    scene.render(K, T, W, H), (40 + j) * 0.1
+                )
+                if pose is not None:
+                    tracked_after += 1
+            if slam.stats.n_reloc >= 1 and tracked_after >= 4:
+                successes += 1
+            for k, v in getattr(slam, "reloc_stage_stats", {}).items():
+                stage_stats[k] = stage_stats.get(k, 0) + v
+
+        print("reloc stage attribution:", stage_stats)
+        assert successes >= 2, (successes, stage_stats)
+        # The ladder must actually have fired (not just the 5-KF reset).
+        assert sum(v for k, v in stage_stats.items() if k != "fail") >= 2
