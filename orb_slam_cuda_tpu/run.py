@@ -43,6 +43,11 @@ def main(argv=None):
                     help="serve GET /status and /map_changed over HTTP "
                          "while running (the reference's ROS "
                          "query/response channel, ros_mono.cc:148-159)")
+    ap.add_argument("--diag", default=None, metavar="CSV",
+                    help="write per-frame diagnostics (timestamp, state, "
+                         "local-map inliers, keyframes, relocs) — the "
+                         "observability layer the reference gets from "
+                         "its per-run printouts (src/Tracking.cc:166)")
     args = ap.parse_args(argv)
 
     import os
@@ -110,6 +115,7 @@ def main(argv=None):
               file=sys.stderr)
 
     times = []
+    diag_rows = []
     for i, (t, frame) in enumerate(ds):
         if args.max_frames is not None and i >= args.max_frames:
             break
@@ -121,6 +127,12 @@ def main(argv=None):
         else:
             slam.track_rgbd(frame["image"], frame["depth"], t)
         times.append(time.time() - t0)
+        if args.diag:
+            diag_rows.append(
+                f"{t:.6f},{slam.tracking_state.name},"
+                f"{getattr(slam, 'n_inliers_local', -1)},"
+                f"{slam.stats.n_keyframes},{slam.stats.n_reloc}"
+            )
         if i % 50 == 0:
             print(
                 f"frame {i} state={slam.tracking_state.name} "
@@ -143,6 +155,10 @@ def main(argv=None):
     if slam.loop_closer is not None:
         print(f"loops closed: {slam.loop_closer.n_loops_closed}", file=sys.stderr)
 
+    if args.diag:
+        with open(args.diag, "w") as f:
+            f.write("timestamp,state,inliers,keyframes,relocs\n")
+            f.write("\n".join(diag_rows) + "\n")
     if args.save_tum:
         slam.save_trajectory_tum(args.save_tum)
     if args.save_kitti:

@@ -147,7 +147,7 @@ def gen_kitti(root, K, W, H, poses, dt, scene, baseline=None):
     open(f"{root}/groundtruth.txt", "w").write("\n".join(gt_lines) + "\n")
 
 
-def run_cli(args, timeout=5400):
+def run_cli(args, timeout=5400, log_path=None):
     t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, "-m", "orb_slam_cuda_tpu.run"] + args,
@@ -155,6 +155,8 @@ def run_cli(args, timeout=5400):
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     wall = time.perf_counter() - t0
+    if log_path:
+        open(log_path, "w").write(proc.stderr)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise RuntimeError(f"run.py failed rc={proc.returncode}")
@@ -238,7 +240,8 @@ def config_mono_tum():
     traj = f"{root}/traj.txt"
     stats = run_cli(["--dataset", "tum", "--sensor", "mono",
                      "--sequence", root, "--settings", f"{root}/settings.yaml",
-                     "--save-tum", traj])
+                     "--save-tum", traj, "--diag", f"{root}/diag.csv"],
+                    log_path=f"{root}/run_stderr.log")
     return root, traj, stats
 
 
@@ -263,7 +266,8 @@ def config_mono_kitti():
     traj = f"{root}/traj.txt"
     stats = run_cli(["--dataset", "kitti", "--sensor", "mono",
                      "--sequence", root, "--settings", f"{root}/settings.yaml",
-                     "--save-tum", traj])
+                     "--save-tum", traj, "--diag", f"{root}/diag.csv"],
+                    log_path=f"{root}/run_stderr.log")
     return root, traj, stats
 
 
@@ -286,7 +290,8 @@ def config_stereo_kitti():
     traj = f"{root}/traj.txt"
     stats = run_cli(["--dataset", "kitti", "--sensor", "stereo",
                      "--sequence", root, "--settings", f"{root}/settings.yaml",
-                     "--save-tum", traj])
+                     "--save-tum", traj, "--diag", f"{root}/diag.csv"],
+                    log_path=f"{root}/run_stderr.log")
     return root, traj, stats
 
 
@@ -316,7 +321,8 @@ def config_rgbd_tum():
     stats = run_cli(["--dataset", "tum", "--sensor", "rgbd",
                      "--sequence", root, "--settings", f"{root}/settings.yaml",
                      "--association", f"{root}/assoc.txt",
-                     "--save-tum", traj])
+                     "--save-tum", traj, "--diag", f"{root}/diag.csv"],
+                    log_path=f"{root}/run_stderr.log")
     return root, traj, stats
 
 

@@ -92,11 +92,18 @@ def child(rank: int):
     )
     slam = System(cfg, seed=1)
 
-    # --- Phase 1: INDEPENDENT per-rank tracking (the work sharding). ---
+    # --- Phase 1: per-rank tracking of DIFFERENT sequences (the work
+    # sharding). The per-frame barrier is pacing only — on this
+    # time-shared host unsynced ranks drift past Gloo's ~30 s collective
+    # rendezvous window and the maps_saved barrier would time out; a
+    # real multi-host run is implicitly paced by its camera feeds. ---
+    from jax.experimental import multihost_utils as mhu
+
     t0 = time.perf_counter()
     for i, T in enumerate(poses):
         left, right = scene.render_stereo(K, T, BASELINE_M, W, H)
         slam.track_stereo(left, right, i * 0.1)
+        mhu.sync_global_devices(f"f")
     slam._flush_pipeline()
     track_wall = time.perf_counter() - t0
 
