@@ -131,7 +131,8 @@ def main(argv=None):
             diag_rows.append(
                 f"{t:.6f},{slam.tracking_state.name},"
                 f"{getattr(slam, 'n_inliers_local', -1)},"
-                f"{slam.stats.n_keyframes},{slam.stats.n_reloc}"
+                f"{slam.stats.n_keyframes},{slam.stats.n_reloc},"
+                f"{getattr(slam, 'ref_tracked', -1)}"
             )
         if i % 50 == 0:
             print(
@@ -157,7 +158,7 @@ def main(argv=None):
 
     if args.diag:
         with open(args.diag, "w") as f:
-            f.write("timestamp,state,inliers,keyframes,relocs\n")
+            f.write("timestamp,state,inliers,keyframes,relocs,ref_tracked\n")
             f.write("\n".join(diag_rows) + "\n")
     if args.save_tum:
         slam.save_trajectory_tum(args.save_tum)

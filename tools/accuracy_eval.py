@@ -176,18 +176,49 @@ def score(root, traj):
     est_rows = np.loadtxt(traj)
     gt_rows = np.loadtxt(f"{root}/groundtruth.txt")
     gt_map = {round(r[0], 6): r[1:4] for r in gt_rows}
-    est, gt = [], []
+    est, gt, have = [], [], set()
     for r in est_rows:
         key = round(r[0], 6)
         if key in gt_map:
             est.append(r[1:4])
             gt.append(gt_map[key])
+            have.add(key)
     gt_all = gt_rows[:, 1:4]
     extent = float(np.linalg.norm(
         gt_all.max(axis=0) - gt_all.min(axis=0)
     ))
-    ate = float(ate_rmse(np.asarray(est), np.asarray(gt)))
-    return ate, extent, len(est)
+    E, G = np.asarray(est), np.asarray(gt)
+    ate = float(ate_rmse(E, G))
+
+    # Decomposition diagnostics: windowed ATE separates local pose noise
+    # from global drift; segment scale medians expose mono scale drift;
+    # gap ranges expose lost segments.
+    extras = {}
+    if len(E) > 90:
+        w_errs = [ate_rmse(E[lo:lo + 60], G[lo:lo + 60])
+                  for lo in range(0, len(E) - 60, 30)]
+        extras["ate_windowed60_m"] = round(float(np.mean(w_errs)), 4)
+    de = np.linalg.norm(np.diff(E, axis=0), axis=1)
+    dg = np.linalg.norm(np.diff(G, axis=0), axis=1)
+    m = dg > 1e-4
+    if m.sum() > 30:
+        r = de[m] / dg[m]
+        n = len(r)
+        segs = [float(np.median(r[int(n * i / 6):int(n * (i + 1) / 6)]))
+                for i in range(6)]
+        extras["scale_seg_ratio"] = round(max(segs) / max(min(segs), 1e-9), 3)
+    gaps, start = [], None
+    for t in sorted(gt_map):
+        missing = t not in have
+        if missing and start is None:
+            start = t
+        if not missing and start is not None:
+            gaps.append([round(start, 2), round(t, 2)])
+            start = None
+    if start is not None:
+        gaps.append([round(start, 2), round(max(gt_map), 2)])
+    extras["gaps"] = gaps
+    return ate, extent, len(est), extras
 
 
 def settings_yaml(path, fx, fy, cx, cy, W, H, fps, nfeat,
@@ -338,7 +369,7 @@ def main():
     names = sys.argv[1:] or list(CONFIGS)
     for name in names:
         root, traj, stats = CONFIGS[name]()
-        ate, extent, n = score(root, traj)
+        ate, extent, n, extras = score(root, traj)
         print(json.dumps({
             "metric": f"accuracy_{name}",
             "ate_rmse_m": round(ate, 4),
@@ -347,6 +378,7 @@ def main():
             "gate_1pct": ate <= 0.01 * extent,
             "n_scored": n,
             **stats,
+            **extras,
         }), flush=True)
 
 
