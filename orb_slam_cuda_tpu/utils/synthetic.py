@@ -175,6 +175,37 @@ def room_scene(rng, half_size: float = 8.0, tex_size: int = 1024,
     return PlanarScene(walls)
 
 
+def ring_obstacles(rng, n: int, ring_radius: float, height: float = 4.0,
+                   width: float = 6.0, tex_size: int = 256,
+                   yaw_jitter: float = 0.4):
+    """Billboard planes on a ring — roadside-structure stand-ins for
+    forward-motion fixtures. Real KITTI features live ~2-4 s (roadside
+    objects sweep through the view); a bare-walls room gives features
+    unbounded lifetime, which starves the reference keyframe policy's
+    weakness trigger c2 (inliers never decay below thRefRatio x
+    nRefMatches, reference src/Tracking.cc:1099-1112) and freezes
+    nRefMatches (new triangulations can never reach minObs=3 without new
+    keyframes). Occluders restore the turnover the policy was designed
+    around, and their close range anchors monocular scale the way KITTI
+    roadside parallax does."""
+    planes = []
+    for k in range(n):
+        phi = 2 * np.pi * (k + rng.uniform(-0.3, 0.3)) / n
+        r = ring_radius * rng.uniform(0.92, 1.08)
+        center = np.array([r * np.sin(phi), 0.0, -r * np.cos(phi)])
+        yaw = phi + rng.uniform(-yaw_jitter, yaw_jitter)
+        eu = np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
+        ev = np.array([0.0, 1.0, 0.0])
+        w = width * rng.uniform(0.7, 1.4)
+        h = height * rng.uniform(0.7, 1.3)
+        scale = h / tex_size
+        tex_w = max(32, int(round(w / scale)))
+        origin = center - (w / 2) * eu - (h / 2) * ev
+        tex = make_texture(tex_size, tex_w, rng)
+        planes.append(Plane(origin, eu, ev, tex, scale))
+    return planes
+
+
 def loop_trajectory(n_frames: int, radius: float = 1.5, overshoot: float = 0.15):
     """Full in-place yaw loop: the camera walks a small circle while
     yawing 360*(1+overshoot) degrees, revisiting its starting view with

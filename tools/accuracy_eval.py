@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-ROOT = "/tmp/accuracy_eval_v2"
+ROOT = "/tmp/accuracy_eval_v3"
 
 
 def _photometric(img, i, rng):
@@ -287,6 +287,12 @@ def config_mono_kitti():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
                                      n_walls=12)
+        # Roadside-structure billboards: real KITTI features live ~2-4 s;
+        # bare walls give unbounded feature lifetime, which starves the
+        # reference keyframe policy (see synthetic.ring_obstacles).
+        scene.planes.extend(synthetic.ring_obstacles(rng, 24, 28.0))
+        scene.planes.extend(synthetic.ring_obstacles(rng, 16, 15.0,
+                                                     height=3.0, width=4.0))
         poses = synthetic.circuit_trajectory(340, radius=22.0, laps=1.3)
         gen_kitti(root, K, 1241, 376, poses, 0.1, scene)
     settings_yaml(
@@ -311,6 +317,9 @@ def config_stereo_kitti():
         rng = np.random.default_rng(5)
         scene = synthetic.room_scene(rng, half_size=36.0, tex_size=3072,
                                      n_walls=12)
+        scene.planes.extend(synthetic.ring_obstacles(rng, 24, 28.0))
+        scene.planes.extend(synthetic.ring_obstacles(rng, 16, 15.0,
+                                                     height=3.0, width=4.0))
         poses = synthetic.circuit_trajectory(340, radius=22.0, laps=1.3)
         gen_kitti(root, K, 1241, 376, poses, 0.1, scene, baseline=0.537)
     settings_yaml(
