@@ -687,6 +687,19 @@ class LocalMapper:
             self.scale_factors, self.level_sigma2, max_new=MAX_NEW,
         )
 
+        # Fresh triangulations need normals/dist bounds/distinctive
+        # descriptors BEFORE fusion — the reference computes them at
+        # creation (pMP->ComputeDistinctiveDescriptors/UpdateNormalAndDepth,
+        # src/LocalMapping.cc:237-486) so SearchInNeighbors sees real
+        # stats. Fusing first left new points with zero normals
+        # (view_cos=0 fails the 0.5 gate) and max_dist=1e9 (octave
+        # prediction pinned to the top level): they could never fuse at
+        # their own birth event, observation counts froze at 2, and the
+        # keyframe policy's nRefMatches starved (round-5 diagnosis:
+        # 177/248 points stuck at 2 obs on a 3-keyframe orbit; a correctly
+        # ordered pass lifts 136 of them to >=3).
+        state = map_ops.update_point_stats(state, self.cfg)
+
         # --- SearchInNeighbors fusion (both directions, one dispatch;
         # wide target set approximating the reference's first+second
         # order neighbors, src/LocalMapping.cc:497-515) ---
