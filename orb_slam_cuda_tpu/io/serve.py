@@ -12,6 +12,13 @@ poll a running engine without a ROS stack:
   GET /map_changed  -> {"map_changed": bool}, edge-triggered per the
                        reference's MapChanged semantics (true once per
                        map mutation epoch, src/System.cc:123-125)
+  GET /map.png      -> top-view map render (points, keyframes,
+                       covisibility edges, current camera) — the live
+                       viewer frame (reference MapDrawer,
+                       src/MapDrawer.cc:44-233)
+  GET /             -> auto-refreshing HTML live view (map + status) —
+                       the server-side counterpart of the Pangolin
+                       window (reference src/Viewer.cc:54-170)
 
 The handler reads plain host-side Python attributes only (ints, enums
 — GIL-atomic), never the device map or the pipeline queues, so it is
@@ -44,6 +51,28 @@ def snapshot(system) -> dict:
     }
 
 
+_LIVE_HTML = b"""<!doctype html>
+<html><head><title>orb_slam_cuda_tpu live view</title><style>
+body{font-family:monospace;background:#111;color:#ddd;margin:1em}
+img{max-width:92vw;border:1px solid #444}
+pre{color:#8c8}
+</style></head><body>
+<h3>orb_slam_cuda_tpu &mdash; live map</h3>
+<pre id="st">loading...</pre>
+<img id="map" src="/map.png">
+<script>
+async function tick(){
+  try{
+    const s = await (await fetch('/status')).json();
+    document.getElementById('st').textContent = JSON.stringify(s);
+    document.getElementById('map').src = '/map.png?' + Date.now();
+  }catch(e){}
+}
+setInterval(tick, 2000); tick();
+</script></body></html>
+"""
+
+
 class StatusServer:
     """Background HTTP server bound to a System.
 
@@ -64,26 +93,53 @@ class StatusServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            def _send(self, data: bytes, ctype: str):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def do_GET(self):
+                self.path = self.path.split("?")[0]
                 if self.path == "/status":
                     body = snapshot(outer.system)
                 elif self.path == "/map_changed":
                     body = {"map_changed": outer._map_changed()}
+                elif self.path == "/map.png":
+                    self._send(outer._render_map(), "image/png")
+                    return
+                elif self.path in ("/", "/view"):
+                    self._send(_LIVE_HTML, "text/html")
+                    return
                 else:
                     self.send_response(404)
                     self.end_headers()
                     return
                 data = json.dumps(body).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                self._send(data, "application/json")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def _render_map(self) -> bytes:
+        """Live-viewer frame: render the CURRENT map snapshot to PNG.
+        `system.state` is an immutable PyTree rebound atomically by the
+        tracking thread, so grabbing one local reference gives a
+        consistent map; the device->host pulls happen on this handler
+        thread, never blocking tracking (the reference's viewer thread
+        reads mutex-guarded copies the same way, src/Viewer.cc:54-170)."""
+        from ..utils import viewer
+
+        st = self.system.state
+        pose = getattr(self.system, "last_pose", None)
+        try:
+            return viewer.render_map_png(st, covis=st.covis,
+                                         current_pose=pose)
+        except Exception:
+            return b""
 
     def _map_changed(self) -> bool:
         """Edge-triggered map-mutation flag (reference System::MapChanged

@@ -58,9 +58,23 @@ def draw_map_topview(state, path: str, covis=None, current_pose=None):
     ax.set_ylabel("z [m]")
     ax.set_aspect("equal")
     ax.legend(loc="upper right", fontsize=8)
+    if path is None:
+        import io as _io
+
+        buf = _io.BytesIO()
+        fig.savefig(buf, format="png", dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def render_map_png(state, covis=None, current_pose=None) -> bytes:
+    """In-memory top-view render — the live-viewer frame served over
+    HTTP (io/serve.py GET /map.png)."""
+    return draw_map_topview(state, None, covis=covis,
+                            current_pose=current_pose)
 
 
 def draw_frame(image, frame, path: str):

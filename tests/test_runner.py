@@ -109,5 +109,18 @@ def test_status_server(mini_kitti):
         # Keyframes were inserted since the last poll -> edge fires once.
         assert get("/map_changed")["map_changed"] is True
         assert get("/map_changed")["map_changed"] is False
+
+        # Live viewer endpoints (round 5): the HTML page and the map
+        # render (reference Viewer/MapDrawer counterpart).
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=30
+        ) as r:
+            page = r.read()
+        assert b"live map" in page
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/map.png", timeout=60
+        ) as r:
+            png = r.read()
+        assert png[:4] == b"\x89PNG", png[:16]
     finally:
         srv.stop()
