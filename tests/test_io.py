@@ -135,6 +135,7 @@ class TestCheckpoint:
         )
         assert kf_order == slam.kf_order
 
+    @pytest.mark.slow
     def test_resume_localization_mode(self, rng, tmp_path):
         """The reference's map.yml startup flow (src/System.cc:82-99):
         load a saved map, enter localization-only mode, relocalize."""

@@ -185,6 +185,7 @@ class TestNaturalKeyframePolicy:
         # 0.10 gate was calibrated to the buggy dense cadence.
         assert ate < 0.40, f"natural-policy ATE {ate:.3f}"
 
+    @pytest.mark.slow
     def test_stereo_policy_fires_naturally(self, rng):
         cam = stereo_cam()
         scene = self._scene(rng)
@@ -207,6 +208,7 @@ class TestNaturalKeyframePolicy:
             gt.append((i * 0.1, np.linalg.inv(T)[:3, 3]))
         self._check(slam, gt)
 
+    @pytest.mark.slow
     def test_rgbd_policy_fires_naturally(self, rng):
         cam = stereo_cam()
         scene = self._scene(rng)
