@@ -226,3 +226,36 @@ class TestBalIO:
         np.testing.assert_array_equal(
             np.asarray(loaded.obs_cam), np.asarray(problem.obs_cam)
         )
+
+
+class TestEurocReader:
+    def test_mono_and_stereo_layout(self, rng, tmp_path):
+        """EuRoC MAV layout (mav0/cam{0,1}/data/<stamp>.png + timestamp
+        list — reference Examples/Monocular/EuRoC_TimeStamps/MH01.txt,
+        mono_euroc.cc/stereo_euroc.cc)."""
+        import cv2
+
+        from orb_slam_cuda_tpu.io.datasets import EurocDataset
+
+        root = tmp_path / "mav0"
+        stamps = ["1403636579763555584", "1403636579813555456",
+                  "1403636579863555584"]
+        for cam in ("cam0", "cam1"):
+            d = root / cam / "data"
+            d.mkdir(parents=True)
+            for i, s in enumerate(stamps):
+                img = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+                cv2.imwrite(str(d / f"{s}.png"), img)
+        ts_file = tmp_path / "stamps.txt"
+        ts_file.write_text("\n".join(stamps) + "\n")
+
+        mono = EurocDataset(str(root), str(ts_file))
+        rows = list(mono)
+        assert len(rows) == 3
+        t0, fr = rows[0]
+        assert abs(t0 - 1403636579.763555584) < 1e-6
+        assert fr["image"].shape == (48, 64)
+
+        st = EurocDataset(str(root), str(ts_file), stereo=True)
+        _, fr = next(iter(st))
+        assert fr["left"].shape == (48, 64) and fr["right"].shape == (48, 64)
