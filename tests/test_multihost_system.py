@@ -19,6 +19,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.xdist_group("jax_distributed")
 @pytest.mark.slow
 def test_full_system_two_processes():
     env = dict(os.environ)

@@ -21,6 +21,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.xdist_group("jax_distributed")
 @pytest.mark.slow
 def test_multiseq_work_sharding_two_processes():
     env = dict(os.environ)
